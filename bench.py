@@ -1,0 +1,124 @@
+"""Headline benchmark: training throughput (rays/sec/chip) at the reference's
+blender operating point.
+
+Operating point (reference cfg/blender_scene.yml:51-64 + instantngp.py:18-19):
+Instant-NGP large (2^19 hash), batch 8192 rays, 64 coarse + 128 importance
+samples (fine pass runs 192 samples/ray), hierarchical coarse+fine render,
+MSE loss, AdamW + OneCycle — i.e. the full train step, not just inference.
+
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline` is
+computed against REF_RAYS_PER_SEC = 400_000, a documented estimate of the
+reference's tiny-cuda-nn pipeline on its stated RTX-4090-class hardware
+(8192-ray steps at ~50 it/s); replace with a measured number when one exists.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_RAYS_PER_SEC = 400_000.0  # documented estimate, see module docstring
+
+BATCH = 8192
+N_SAMPLES = 64
+N_IMPORTANCE = 128
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.parallel import make_mesh, replicate, shard_batch
+    from nerfjax.train import (
+        TrainSettings,
+        build_fields,
+        init_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    mesh = make_mesh()
+    n_chips = len(mesh.devices.ravel())
+
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "bench",
+                "ngp": True,
+                "nerf_type": "large",
+                "batch_size": BATCH,
+                "N_samples": N_SAMPLES,
+                "N_importance": N_IMPORTANCE,
+                "precision": "bf16",
+                "lr": 5e-4,
+            }
+        )
+    )
+    settings = TrainSettings.from_cfg(cfg, total_steps=10_000)
+    fc, ff, _ = build_fields(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(settings)
+    opt_state = tx.init(params)
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = replicate(jnp.zeros((), jnp.int32), mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+
+    rng = np.random.default_rng(0)
+    B = BATCH * max(1, n_chips)  # keep per-chip batch = reference batch
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = (-o + rng.uniform(-0.3, 0.3, size=(B, 3)).astype(np.float32))
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = shard_batch(
+        {
+            "rays_o": o,
+            "rays_d": d.astype(np.float32),
+            "rgb": rng.uniform(size=(B, 3)).astype(np.float32),
+            "t_near": np.full((B,), 1.5, np.float32),
+            "t_far": np.full((B,), 3.5, np.float32),
+        },
+        mesh,
+    )
+
+    train_step = make_train_step(settings, fc, ff, tx, mesh)
+
+    for _ in range(WARMUP_STEPS):
+        params, opt_state, step, metrics = train_step(
+            params, opt_state, step, key, batch
+        )
+    jax.block_until_ready(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        params, opt_state, step, metrics = train_step(
+            params, opt_state, step, key, batch
+        )
+    jax.block_until_ready(metrics["loss_total"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = BENCH_STEPS * B / dt
+    rays_per_sec_chip = rays_per_sec / max(1, n_chips)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip_ngp_large_blender_op",
+                "value": round(rays_per_sec_chip, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(rays_per_sec_chip / REF_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import argparse
+
+from nerfjax.config import ConfigNode, load_config, with_defaults
+
+
+def cfg_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--cfg_path", type=str, required=True)
+    return p
+
+
+def load_cfg(args) -> ConfigNode:
+    return with_defaults(load_config(args.cfg_path))

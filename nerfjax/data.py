@@ -1,0 +1,99 @@
+"""Host-side ray data pipeline.
+
+TPU-native replacement for the reference's torch Dataset + 4-worker
+DataLoader (reference: scripts/dataset.py:8-105, scripts/train.py:209-217):
+the whole NPZ fits in host RAM, so batching is a permutation + slice, and
+throughput comes from *double-buffered async device_put* (the next sharded
+batch is in flight while the current step runs) rather than worker processes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from nerfjax.rays import load_ray_data
+
+
+class RayDataset:
+    """In-memory (or memmapped) ray dataset over the precomputed NPZ.
+
+    Mirrors the reference's load + stats printout (scripts/dataset.py:32-72).
+    """
+
+    def __init__(self, data_path: str | Path, use_memmap: bool = False, verbose: bool = True):
+        self.data_path = Path(data_path)
+        if not self.data_path.exists():
+            raise FileNotFoundError(f"Data file not found: {self.data_path}")
+        if verbose:
+            print(f"Loading ray from: {self.data_path}")
+        d = load_ray_data(self.data_path, use_memmap=use_memmap)
+        self.rays_o = d["rays_o"]
+        self.rays_d = d["rays_d"]
+        self.rgbs = d["rgbs"]
+        self.t_near = d["t_near"]
+        self.t_far = d["t_far"]
+        self.num_rays = len(self.rays_o)
+        if verbose:
+            print(f"Loaded {self.num_rays} rays")
+            print(
+                f"t_near range: [{float(np.min(self.t_near)):.3f}, "
+                f"{float(np.max(self.t_near)):.3f}]"
+            )
+            print(
+                f"t_far range: [{float(np.min(self.t_far)):.3f}, "
+                f"{float(np.max(self.t_far)):.3f}]"
+            )
+
+    def __len__(self) -> int:
+        return self.num_rays
+
+    def epoch_batches(
+        self, batch_size: int, seed: int, drop_last: bool = True
+    ) -> Iterator[dict[str, np.ndarray]]:
+        """Shuffled full-epoch batch iterator (host-side).
+
+        drop_last=True keeps shapes static so the jitted train step never
+        recompiles (the reference instead ran a ragged final batch).
+        """
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(self.num_rays)
+        end = (self.num_rays // batch_size) * batch_size if drop_last else self.num_rays
+        for start in range(0, end, batch_size):
+            idx = perm[start : start + batch_size]
+            yield {
+                "rays_o": np.ascontiguousarray(self.rays_o[idx]),
+                "rays_d": np.ascontiguousarray(self.rays_d[idx]),
+                "rgb": np.ascontiguousarray(self.rgbs[idx]),
+                "t_near": np.ascontiguousarray(self.t_near[idx]),
+                "t_far": np.ascontiguousarray(self.t_far[idx]),
+            }
+
+    def steps_per_epoch(self, batch_size: int, drop_last: bool = True) -> int:
+        return (
+            self.num_rays // batch_size
+            if drop_last
+            else -(-self.num_rays // batch_size)
+        )
+
+
+def prefetch_to_device(iterator: Iterator, mesh, depth: int = 2) -> Iterator:
+    """Double-buffered async host->device transfer of sharded batches.
+
+    Keeps `depth` batches in flight (jax.device_put is async) so the host
+    transfer overlaps device compute — the TPU-native equivalent of pinned
+    memory + non_blocking copies in the reference (scripts/train.py:285-289).
+    """
+    import collections
+
+    from nerfjax.parallel import shard_batch
+
+    queue: collections.deque = collections.deque()
+    for batch in iterator:
+        queue.append(shard_batch(batch, mesh))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,177 @@
+"""Volume extraction: dense-grid density/RGB query -> colored occupancy.
+
+The reference extracts a 512^3 volume by ~16k sequential 8192-point GPU
+launches with per-batch host<->device copies, then ships 134M floats to host
+for skimage Otsu (reference: scripts/extract_vol.py:85-150). Here the grid
+query is a jitted, mesh-sharded scan over Z-slabs (device-resident, no
+per-batch host traffic), Otsu is a device-side histogram (nerfjax.ops.otsu),
+and only the final uint8 volumes land on host.
+
+File contract preserved: volume.pth = {occupancy_volume uint8 [R,R,R],
+rgb_volume uint8 [R,R,R,3], metadata{resolution,bounds,threshold,
+occupied_ratio,total_voxels,occupied_voxels,timestamp,+stats}}
+(reference: scripts/extract_vol.py:193-206).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfjax import checkpoint as ckpt
+from nerfjax import pth
+from nerfjax.config import ConfigNode
+from nerfjax.ops.otsu import otsu_threshold
+from nerfjax.parallel import make_mesh, replicate
+from nerfjax.train import build_fields
+
+
+def _slab_query(field, params, zs: jnp.ndarray, res: int, bounds, view, dtype):
+    """Evaluate density+rgb for all voxels of |zs| z-slabs: returns
+    (sigma [nz, R, R], rgb [nz, R, R, 3] in [0,1])."""
+    lo, hi = bounds
+    coords = jnp.linspace(lo, hi, res, dtype=jnp.float32)
+    nz = zs.shape[0]
+    # grid_points convention (reference extract_vol.py:74-77): meshgrid
+    # indexing "ij" over (x, y, z) -> x is the slowest axis. We slab over x.
+    xs = coords[zs]  # [nz] actually x-slabs
+    px = jnp.broadcast_to(xs[:, None, None], (nz, res, res)).reshape(-1)
+    py = jnp.broadcast_to(coords[None, :, None], (nz, res, res)).reshape(-1)
+    pz = jnp.broadcast_to(coords[None, None, :], (nz, res, res)).reshape(-1)
+
+    vx = jnp.full_like(px, view[0])
+    vy = jnp.full_like(px, view[1])
+    vz = jnp.full_like(px, view[2])
+    rgb, sigma = field.apply_planar(params, (px, py, pz), (vx, vy, vz), dtype=dtype)
+    return (
+        sigma.astype(jnp.float32).reshape(nz, res, res),
+        rgb.astype(jnp.float32).reshape(3, nz, res, res),
+    )
+
+
+def extract_volume(
+    cfg: ConfigNode,
+    *,
+    params: dict | None = None,
+    resolution: int | None = None,
+    bounds: tuple[float, float] = (-1.0, 1.0),
+    view_direction=(0.0, 0.0, -1.0),
+    slab: int = 8,
+    mesh=None,
+    dtype=jnp.bfloat16,
+    verbose: bool = True,
+) -> dict:
+    """Full extraction: checkpoint -> dense colored occupancy volume dict.
+
+    Queries the FINE field with a fixed canonical view direction
+    (reference: scripts/extract_vol.py:85-120; loads only the fine model,
+    :40-54 — but honours cfg.ngp instead of hardcoding NGP-large, fixing the
+    reference quirk documented in SURVEY.md §7).
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    res = int(resolution or cfg.get("volume_resolution", 512))
+
+    field_coarse, field_fine, shared = build_fields(cfg)
+    if params is None:
+        params = ckpt.load_field_params(cfg.checkpoint, cfg, which="fine")
+    fine_params = params["model"] if "model" in params else params["fine"]
+    fine_params = replicate(fine_params, mesh)
+
+    view = np.asarray(view_direction, np.float32)
+    view = tuple(float(v) for v in view / np.linalg.norm(view))
+
+    # pad x-slabs so every scan step processes n_dev * slab slices
+    step_slices = n_dev * slab
+    n_steps = -(-res // step_slices)
+    padded = n_steps * step_slices
+
+    # grid DP: x-slab indices sharded across the mesh, params replicated,
+    # outputs sharded along the slab dim (SURVEY.md §2 "volume extraction DP")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P("data"))
+    shard_rgb = NamedSharding(mesh, P(None, "data"))
+    query = jax.jit(
+        partial(_slab_query, field_fine, res=res, bounds=bounds, view=view, dtype=dtype),
+        in_shardings=(repl, shard0),
+        out_shardings=(shard0, shard_rgb),
+    )
+
+    t0 = time.time()
+    sigma_out = np.empty((res, res, res), np.float32)
+    rgb_out = np.empty((res, res, res, 3), np.uint8)
+    for s in range(n_steps):
+        zs = np.arange(s * step_slices, (s + 1) * step_slices)
+        zs = np.minimum(zs, res - 1).astype(np.int32)
+        sig, rgb = query(fine_params, jnp.asarray(zs))
+        sig = np.asarray(sig)
+        rgb = np.asarray(jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))
+        keep = min(res - s * step_slices, step_slices)
+        sigma_out[s * step_slices : s * step_slices + keep] = sig[:keep]
+        rgb_out[s * step_slices : s * step_slices + keep] = np.moveaxis(
+            rgb[:, :keep], 0, -1
+        )
+    query_time = time.time() - t0
+
+    threshold = float(otsu_threshold(jnp.asarray(sigma_out.reshape(res, -1))))
+    occupancy = (sigma_out > threshold).astype(np.uint8)
+    occupied = int(occupancy.sum())
+    total = res**3
+    if verbose:
+        print(f"Otsu threshold: {threshold:.6f}")
+        print(
+            f"Occupied voxels: {occupied / total:.1%} ({occupied:,}/{total:,})"
+        )
+        print(f"Query time: {query_time:.1f}s for {total:,} voxels")
+
+    stats = {
+        "min": float(sigma_out.min()),
+        "max": float(sigma_out.max()),
+        "mean": float(sigma_out.mean()),
+        "std": float(sigma_out.std()),
+    }
+    return {
+        "occupancy_volume": occupancy,
+        "rgb_volume": rgb_out,
+        "metadata": {
+            "resolution": res,
+            "bounds": [float(bounds[0]), float(bounds[1])],
+            "threshold": threshold,
+            "occupied_ratio": occupied / total,
+            "total_voxels": total,
+            "occupied_voxels": occupied,
+            "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "checkpoint_path": str(cfg.get("checkpoint", "")),
+            "density_stats": stats,
+            "view_direction": list(view),
+            "query_seconds": query_time,
+        },
+    }
+
+
+def save_volume(volume: dict, output_path: str | Path) -> None:
+    """Write volume.pth (torch-compatible, contract per SURVEY.md §7.6)."""
+    output_path = Path(output_path)
+    if output_path.suffix.lower() != ".pth":
+        raise ValueError(f"Unsupported output format: {output_path.suffix}")
+    pth.save(
+        {
+            "occupancy_volume": volume["occupancy_volume"].astype(np.uint8),
+            "rgb_volume": volume["rgb_volume"].astype(np.uint8),
+            "metadata": volume["metadata"],
+        },
+        output_path,
+    )
+    print(f"Saved colored occupancy volume with metadata: {output_path}")
+
+
+def load_volume(path: str | Path) -> dict:
+    return pth.load(path)

@@ -85,9 +85,7 @@ class HashGridSpec:
         return self.n_levels * self.n_features
 
 
-def _corner_offsets() -> np.ndarray:
-    """The 8 corners of a unit cell as a [8,3] {0,1} array."""
-    return np.stack(np.meshgrid([0, 1], [0, 1], [0, 1], indexing="ij"), -1).reshape(8, 3)
+_CORNERS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
 
 def hashgrid_indices_and_weights(
@@ -95,57 +93,90 @@ def hashgrid_indices_and_weights(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Compute gather indices and trilinear weights for all levels.
 
+    TPU layout note: columns are packed as [N, L*8] — for the canonical 16
+    levels that is exactly one 128-lane tile, so the materialized gather
+    index/weight/feature buffers are padding-free. (A naive [N, L, 8] layout
+    pads both minor dims and blows HBM by 16x — measured on v5e.)
+    Column order is level-major: col = level*8 + corner.
+
     Args:
       x01: [N, 3] positions in [0, 1].
     Returns:
-      idx: [N, L, 8] int32 indices into the flat table.
-      w:   [N, L, 8] trilinear interpolation weights.
+      idx: [N, L*8] int32 indices into the flat table.
+      w:   [N, L*8] float32 trilinear interpolation weights.
     """
-    corners = jnp.asarray(_corner_offsets(), jnp.int32)  # [8,3]
-    levels = spec.level_params()
+    x = x01[:, 0]
+    y = x01[:, 1]
+    z = x01[:, 2]
 
-    idx_all, w_all = [], []
-    for lp in levels:
-        pos = x01 * lp["scale"] + 0.5
-        p0 = jnp.floor(pos)
-        frac = pos - p0
-        p0 = p0.astype(jnp.int32)  # [N,3]
+    idx_cols: list[jnp.ndarray] = []
+    w_cols: list[jnp.ndarray] = []
+    for lp in spec.level_params():
+        px, py, pz = x * lp["scale"] + 0.5, y * lp["scale"] + 0.5, z * lp["scale"] + 0.5
+        fx, fy, fz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
+        tx, ty, tz = px - fx, py - fy, pz - fz  # fractional part
+        ix, iy, iz = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
 
-        cpos = p0[:, None, :] + corners[None, :, :]  # [N,8,3]
-        if lp["use_hash"]:
-            c = cpos.astype(jnp.uint32)
-            h = (
-                c[..., 0] * _HASH_PRIMES[0]
-                ^ c[..., 1] * _HASH_PRIMES[1]
-                ^ c[..., 2] * _HASH_PRIMES[2]
-            )
-            idx = (h & np.uint32(spec.hashmap_size - 1)).astype(jnp.int32)
-        else:
-            r = lp["res"]
-            c = jnp.clip(cpos, 0, r - 1)
-            idx = c[..., 0] + c[..., 1] * r + c[..., 2] * (r * r)
+        for dx, dy, dz in _CORNERS:
+            cx, cy, cz = ix + dx, iy + dy, iz + dz
+            if lp["use_hash"]:
+                h = (
+                    cx.astype(jnp.uint32) * _HASH_PRIMES[0]
+                    ^ cy.astype(jnp.uint32) * _HASH_PRIMES[1]
+                    ^ cz.astype(jnp.uint32) * _HASH_PRIMES[2]
+                )
+                col = (h & np.uint32(spec.hashmap_size - 1)).astype(jnp.int32)
+            else:
+                r = lp["res"]
+                col = (
+                    jnp.clip(cx, 0, r - 1)
+                    + jnp.clip(cy, 0, r - 1) * r
+                    + jnp.clip(cz, 0, r - 1) * (r * r)
+                )
+            idx_cols.append(col + lp["offset"])
+            wx = tx if dx else (1.0 - tx)
+            wy = ty if dy else (1.0 - ty)
+            wz = tz if dz else (1.0 - tz)
+            w_cols.append(wx * wy * wz)
 
-        # Trilinear weights: prod over dims of frac^bit * (1-frac)^(1-bit).
-        fb = corners[None, :, :].astype(x01.dtype)  # [1,8,3]
-        w = jnp.prod(frac[:, None, :] * fb + (1.0 - frac[:, None, :]) * (1.0 - fb), axis=-1)
-
-        idx_all.append(idx + lp["offset"])
-        w_all.append(w)
-
-    return jnp.stack(idx_all, axis=1), jnp.stack(w_all, axis=1)
+    return jnp.stack(idx_cols, axis=-1), jnp.stack(w_cols, axis=-1)
 
 
-def hashgrid_encode(spec: HashGridSpec, table: jnp.ndarray, x01: jnp.ndarray) -> jnp.ndarray:
+def _level_selector(spec: HashGridSpec) -> np.ndarray:
+    """Static [L*8, L] 0/1 matrix summing the 8 corner columns of each level —
+    the trilinear reduce becomes one MXU matmul instead of a padded reshape."""
+    sel = np.zeros((spec.n_levels * 8, spec.n_levels), np.float32)
+    for l in range(spec.n_levels):
+        sel[l * 8 : (l + 1) * 8, l] = 1.0
+    return sel
+
+
+def hashgrid_encode(
+    spec: HashGridSpec, table_planes: jnp.ndarray, x01: jnp.ndarray
+) -> jnp.ndarray:
     """Multiresolution hash encoding: [N,3] in [0,1] -> [N, L*F].
 
-    One flat gather over all levels + trilinear blend. Backward pass is the
-    gather transpose (scatter-add into the table), handled by XLA.
+    table_planes: [F, total] — feature-planes layout so each per-plane gather
+    yields a dense lane-packed [N, L*8] buffer (a [total, F] table would
+    gather into [N, L*8, F] and pad F=2 up to 128 lanes).
+
+    Output feature layout is PLANE-MAJOR: [plane0 levels 0..L-1, plane1
+    levels 0..L-1] — a fixed permutation of tcnn's level-major interleave
+    (equivalent model up to a permutation of the first MLP layer's rows;
+    documented for checkpoint interop in nerfjax.checkpoint).
+
+    Backward pass is the gather transpose (scatter-add into the planes).
     """
-    idx, w = hashgrid_indices_and_weights(spec, x01)  # [N,L,8] each
-    feats = jnp.take(table, idx.reshape(-1), axis=0)  # [N*L*8, F]
-    feats = feats.reshape(*idx.shape, spec.n_features)  # [N,L,8,F]
-    enc = jnp.sum(feats * w[..., None].astype(feats.dtype), axis=2)  # [N,L,F]
-    return enc.reshape(x01.shape[0], spec.output_dim)
+    idx, w = hashgrid_indices_and_weights(spec, x01)  # [N, L*8] each
+    sel = jnp.asarray(_level_selector(spec), table_planes.dtype)
+    w = w.astype(table_planes.dtype)
+    outs = []
+    for f in range(spec.n_features):
+        g = jnp.take(table_planes[f], idx, axis=0)  # [N, L*8]
+        outs.append(
+            jnp.dot(g * w, sel, preferred_element_type=table_planes.dtype)
+        )  # [N, L]
+    return jnp.concatenate(outs, axis=-1)  # [N, L*F]
 
 
 def _mlp_init(key: jax.Array, dims: list[int], dtype=jnp.float32) -> list[Params]:
@@ -195,8 +226,9 @@ class InstantNGP:
         kt, kd, kc = jax.random.split(key, 3)
         spec = self.spec
         # tcnn initializes hash tables uniform in [-1e-4, 1e-4].
+        # [F, total] feature-planes layout (see hashgrid_encode).
         table = jax.random.uniform(
-            kt, (spec.total_table_size, spec.n_features), dtype, -1e-4, 1e-4
+            kt, (spec.n_features, spec.total_table_size), dtype, -1e-4, 1e-4
         )
         enc_dim = spec.output_dim  # 32
         return {
@@ -236,6 +268,52 @@ class InstantNGP:
         dir_enc = sh4_encode(view).astype(features.dtype)
         x = jnp.concatenate([features, dir_enc], axis=-1)
         rgb = _mlp_apply(params["cmlp"], x, jax.nn.sigmoid)
+        return rgb, sigma
+
+    # -- feature-major hot path ---------------------------------------------
+    # Positions/directions as three [N] component vectors, activations as
+    # [C, N]: no lane padding anywhere (see nerfjax.ops.hash_encode).
+
+    def query_density_planar(
+        self, params: Params, pos3, *, dtype=jnp.bfloat16, **_: Any
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(px,py,pz) [N] in [-1,1] -> (sigma [N], features [16, N])."""
+        from nerfjax.ops.hash_encode import hash_encode_planar
+
+        x = jnp.clip((pos3[0] + 1.0) * 0.5, 0.0, 1.0)
+        y = jnp.clip((pos3[1] + 1.0) * 0.5, 0.0, 1.0)
+        z = jnp.clip((pos3[2] + 1.0) * 0.5, 0.0, 1.0)
+        enc = hash_encode_planar(self.spec, params["table"], x, y, z, dtype=dtype)
+        h = enc
+        for p in params["dmlp"][:-1]:
+            h = jax.nn.relu(
+                jnp.dot(p["w"].T.astype(dtype), h, preferred_element_type=dtype)
+            )
+        feat = jax.nn.relu(
+            jnp.dot(
+                params["dmlp"][-1]["w"].T.astype(dtype), h, preferred_element_type=dtype
+            )
+        )
+        return feat[0], feat
+
+    def apply_planar(
+        self, params: Params, pos3, view3, *, dtype=jnp.bfloat16, **_: Any
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Feature-major forward: -> (rgb [3, N], sigma [N])."""
+        from nerfjax.fields.encodings import sh4_encode_planar
+
+        sigma, feat = self.query_density_planar(params, pos3, dtype=dtype)
+        de = sh4_encode_planar(view3[0], view3[1], view3[2]).astype(dtype)
+        h = jnp.concatenate([feat, de], axis=0)
+        for p in params["cmlp"][:-1]:
+            h = jax.nn.relu(
+                jnp.dot(p["w"].T.astype(dtype), h, preferred_element_type=dtype)
+            )
+        rgb = jax.nn.sigmoid(
+            jnp.dot(
+                params["cmlp"][-1]["w"].T.astype(dtype), h, preferred_element_type=dtype
+            )
+        )
         return rgb, sigma
 
     def num_params(self, params: Params) -> int:

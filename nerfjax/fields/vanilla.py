@@ -133,5 +133,81 @@ class VanillaNeRF:
         rgb = jax.nn.sigmoid(_linear(params["color_layers"][-1], x))
         return rgb, sigma
 
+    # -- feature-major hot path ---------------------------------------------
+
+    def query_density_planar(
+        self,
+        params: Params,
+        pos3,
+        *,
+        rng: jax.Array | None = None,
+        train: bool = False,
+        dtype=jnp.float32,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(px,py,pz) [N] -> (sigma [N], features [hidden, N])."""
+        from nerfjax.fields.encodings import fourier_encode_planar
+
+        pe = fourier_encode_planar(
+            pos3[0], pos3[1], pos3[2], self.pos_L, self.include_input_pos
+        ).astype(dtype)
+        def lin_t(p, v):
+            return jnp.dot(
+                p["w"].T.astype(dtype), v, preferred_element_type=dtype
+            ) + p["b"].astype(dtype).reshape(-1, 1)
+
+        h = pe
+        for p in params["pos_layers"]:
+            h = jax.nn.relu(lin_t(p, h))
+        h = jnp.concatenate([h, pe], axis=0)
+        for p in params["skip_layers"]:
+            h = jax.nn.relu(lin_t(p, h))
+        d = params["density"]
+        sigma = jnp.dot(d["w"].T.astype(dtype), h, preferred_element_type=dtype) + d[
+            "b"
+        ].astype(dtype).reshape(-1, 1)
+        sigma = sigma[0]
+        if train and self.sigma_noise:
+            if rng is None:
+                raise ValueError("rng required for train-time sigma noise")
+            sigma = sigma + jax.random.normal(rng, sigma.shape, sigma.dtype)
+        sigma = jax.nn.relu(sigma)
+        f = params["feature"]
+        features = jnp.dot(f["w"].T.astype(dtype), h, preferred_element_type=dtype) + f[
+            "b"
+        ].astype(dtype).reshape(-1, 1)
+        return sigma, features
+
+    def apply_planar(
+        self,
+        params: Params,
+        pos3,
+        view3,
+        *,
+        rng: jax.Array | None = None,
+        train: bool = False,
+        dtype=jnp.float32,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Feature-major forward: -> (rgb [3, N], sigma [N])."""
+        from nerfjax.fields.encodings import fourier_encode_planar
+
+        sigma, features = self.query_density_planar(
+            params, pos3, rng=rng, train=train, dtype=dtype
+        )
+        de = fourier_encode_planar(
+            view3[0], view3[1], view3[2], self.dir_L, self.include_input_dir
+        ).astype(dtype)
+        h = jnp.concatenate([features, de], axis=0)
+        for p in params["color_layers"][:-1]:
+            h = jax.nn.relu(
+                jnp.dot(p["w"].T.astype(dtype), h, preferred_element_type=dtype)
+                + p["b"].astype(dtype).reshape(-1, 1)
+            )
+        p = params["color_layers"][-1]
+        rgb = jax.nn.sigmoid(
+            jnp.dot(p["w"].T.astype(dtype), h, preferred_element_type=dtype)
+            + p["b"].astype(dtype).reshape(-1, 1)
+        )
+        return rgb, sigma
+
     def num_params(self, params: Params) -> int:
         return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

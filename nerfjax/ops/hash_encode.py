@@ -1,0 +1,278 @@
+"""TPU-optimized multiresolution hash-grid encoding.
+
+Replaces tiny-cuda-nn's fused HashGrid CUDA kernels (reference:
+scripts/instantngp.py:23-33) with a design built around measured v5e
+characteristics (see docs/PERF.md):
+
+  * XLA gather costs ~6-9 ns per INDEX, nearly independent of fetch width
+    (<=16 lanes) — so fetch as much as possible per index:
+      - DENSE levels store "cell rows": all 8 corners x 2 features of a cell
+        contiguously -> ONE width-16 gather per point-level (22x fewer index
+        ops than per-corner fetches). Cell-row tables are assembled from the
+        canonical plane parameters by 8 shifted slices (pure streaming);
+        autodiff turns that back into streaming adds, so dense levels need
+        no scatter at all for the table-building step.
+      - HASH levels pack the 2 bf16 features of an entry into one f32 word
+        -> one width-1 gather per corner fetches both features (2.8x fewer
+        ns per feature than two f32 gathers).
+  * scatter-add costs ~5-7 ns per ELEMENT regardless of width — the hash
+    backward is the step's hard floor; a custom VJP recomputes indices
+    instead of saving the [8L, N] index tensor.
+  * small minor dims ([N,3], [N,16,8]) pad to 128 lanes and waste up to 42x
+    HBM; everything here is FEATURE-MAJOR: positions arrive as three [N]
+    component vectors, intermediates are [8, N] / [L, N], and the encoding
+    is returned as [L*F, N].
+
+Semantics match nerfjax.fields.ngp.hashgrid_encode (the reference jnp
+implementation kept as the test oracle) up to bf16 rounding of hash-level
+table values.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfjax.fields.ngp import HashGridSpec, _CORNERS, _HASH_PRIMES
+
+
+def _split_levels(spec: HashGridSpec):
+    levels = spec.level_params()
+    dense = [lp for lp in levels if not lp["use_hash"]]
+    hashed = [lp for lp in levels if lp["use_hash"]]
+    # tcnn level scales grow monotonically: dense levels are a prefix.
+    assert dense + hashed == levels
+    return dense, hashed
+
+
+# ---------------------------------------------------------------------------
+# Hash levels: pair-packed gather with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _pack_pairs_bf16(planes: jnp.ndarray) -> jnp.ndarray:
+    """[2, T] f32 -> [T] f32 whose bits hold (plane1_bf16 << 16) | plane0_bf16."""
+    p = planes.astype(jnp.bfloat16)
+    lo = jax.lax.bitcast_convert_type(p[0], jnp.uint16).astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(p[1], jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(lo | (hi << 16), jnp.float32)
+
+
+def _unpack_pairs(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 words -> (plane0, plane1) as f32 (bf16 values widened)."""
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    f0 = jax.lax.bitcast_convert_type((u << 16).astype(jnp.uint32), jnp.float32)
+    f1 = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000), jnp.float32)
+    return f0, f1
+
+
+def _hash_level_indices(
+    spec: HashGridSpec, hashed: list[dict], x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+) -> jnp.ndarray:
+    """[Lh*8, N] int32 indices into the concatenated hash-level table.
+
+    Row order: (level-within-hashed, corner) — row = l*8 + c.
+    Offsets are relative to the first hash level's slice. Vectorized over
+    levels ([Lh, N] intermediates — last-two-dims layout, no lane padding).
+    """
+    base = hashed[0]["offset"]
+    mask = np.uint32(spec.hashmap_size - 1)
+    scales = jnp.asarray([lp["scale"] for lp in hashed], jnp.float32)[:, None]
+    offs = jnp.asarray([lp["offset"] - base for lp in hashed], jnp.int32)[:, None]
+    Lh = len(hashed)
+
+    ix = jnp.floor(x[None, :] * scales + 0.5).astype(jnp.int32)  # [Lh, N]
+    iy = jnp.floor(y[None, :] * scales + 0.5).astype(jnp.int32)
+    iz = jnp.floor(z[None, :] * scales + 0.5).astype(jnp.int32)
+
+    corners = []
+    for dx, dy, dz in _CORNERS:
+        h = (
+            (ix + dx).astype(jnp.uint32) * _HASH_PRIMES[0]
+            ^ (iy + dy).astype(jnp.uint32) * _HASH_PRIMES[1]
+            ^ (iz + dz).astype(jnp.uint32) * _HASH_PRIMES[2]
+        )
+        corners.append((h & mask).astype(jnp.int32) + offs)
+    idx = jnp.stack(corners, axis=1)  # [Lh, 8, N]
+    return idx.reshape(Lh * 8, -1)
+
+
+def _corner_weights(
+    levels: list[dict], x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, clamp: bool
+) -> jnp.ndarray:
+    """[L*8, N] trilinear weights, row = l*8 + c (same order as indices)."""
+    scales = jnp.asarray([lp["scale"] for lp in levels], jnp.float32)[:, None]
+    px = x[None, :] * scales + 0.5  # [L, N]
+    py = y[None, :] * scales + 0.5
+    pz = z[None, :] * scales + 0.5
+    if clamp:
+        rmax = jnp.asarray([lp["res"] - 2 for lp in levels], jnp.float32)[:, None]
+        bx = jnp.clip(jnp.floor(px), 0, rmax)
+        by = jnp.clip(jnp.floor(py), 0, rmax)
+        bz = jnp.clip(jnp.floor(pz), 0, rmax)
+        tx = jnp.clip(px - bx, 0.0, 1.0)
+        ty = jnp.clip(py - by, 0.0, 1.0)
+        tz = jnp.clip(pz - bz, 0.0, 1.0)
+    else:
+        tx, ty, tz = px - jnp.floor(px), py - jnp.floor(py), pz - jnp.floor(pz)
+    rows = []
+    for dx, dy, dz in _CORNERS:
+        wx = tx if dx else (1.0 - tx)
+        wy = ty if dy else (1.0 - ty)
+        wz = tz if dz else (1.0 - tz)
+        rows.append(wx * wy * wz)
+    w = jnp.stack(rows, axis=1)  # [L, 8, N]
+    return w.reshape(w.shape[0] * 8, -1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _hash_levels_encode(spec: HashGridSpec, hash_planes, x, y, z):
+    """Encode all hash levels: -> [Lh, N] per plane, stacked as [2, Lh, N].
+
+    hash_planes: [2, T_hash] f32 slice of the full plane table covering the
+    hash levels.
+    """
+    out, _ = _hash_levels_fwd(spec, hash_planes, x, y, z)
+    return out
+
+
+def _hash_levels_fwd(spec, hash_planes, x, y, z):
+    _, hashed = _split_levels(spec)
+    Lh = len(hashed)
+    idx = _hash_level_indices(spec, hashed, x, y, z)  # [Lh*8, N]
+    packed = _pack_pairs_bf16(hash_planes)  # [T_hash]
+    words = jnp.take(packed, idx.reshape(-1), axis=0).reshape(idx.shape)
+    f0, f1 = _unpack_pairs(words)  # [Lh*8, N] each
+    w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
+    N = x.shape[0]
+    e0 = jnp.sum((f0 * w).reshape(Lh, 8, N), axis=1)  # [Lh, N]
+    e1 = jnp.sum((f1 * w).reshape(Lh, 8, N), axis=1)
+    # residuals: positions only — indices/weights are recomputed in bwd
+    return jnp.stack([e0, e1]), (x, y, z)
+
+
+def _hash_levels_bwd(spec, res, g):
+    x, y, z = res
+    _, hashed = _split_levels(spec)
+    Lh = len(hashed)
+    N = x.shape[0]
+    T_hash = sum(lp["size"] for lp in hashed)
+    idx = _hash_level_indices(spec, hashed, x, y, z).reshape(-1)  # [Lh*8*N]
+    w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
+    # g: [2, Lh, N] -> per-corner update = g_level * w_corner
+    g0 = (jnp.repeat(g[0], 8, axis=0) * w).reshape(-1)
+    g1 = (jnp.repeat(g[1], 8, axis=0) * w).reshape(-1)
+    grad0 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(
+        g0, mode="drop", indices_are_sorted=False, unique_indices=False
+    )
+    grad1 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(g1, mode="drop")
+    # positions get no gradient (matches tcnn: no dL/dx through the grid)
+    return jnp.stack([grad0, grad1]), None, None, None
+
+
+_hash_levels_encode.defvjp(_hash_levels_fwd, _hash_levels_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dense levels: cell-row tables + width-16 gathers
+# ---------------------------------------------------------------------------
+
+
+def _dense_cell_rows(lp: dict, plane_slice: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[ (r-1)^3, 16 ] cell-row table for one dense level.
+
+    Slot layout: s = corner*2 + plane with corner order _CORNERS.
+    Built by 8 shifted slices of the [2, r, r, r] level grid — streaming, no
+    random access; autodiff of this assembly is streaming adds (no scatter).
+    """
+    r = lp["res"]
+    # linear index x + y*r + z*r^2 means reshape(r,r,r) axes are (z, y, x)
+    g = plane_slice[:, : r * r * r].reshape(2, r, r, r).astype(dtype)
+    slots = []
+    for dx, dy, dz in _CORNERS:
+        block = g[:, dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1]
+        slots.append(block[0])
+        slots.append(block[1])
+    rows = jnp.stack(slots, axis=-1)  # [r-1, r-1, r-1, 16]
+    return rows.reshape((r - 1) ** 3, 16)
+
+
+def _dense_levels_encode(
+    spec: HashGridSpec,
+    dense: list[dict],
+    planes: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode dense levels -> ([Ld, N] plane0, [Ld, N] plane1)."""
+    e0_rows, e1_rows = [], []
+    for lp in dense:
+        r = lp["res"]
+        rows = _dense_cell_rows(lp, planes[:, lp["offset"] : lp["offset"] + lp["size"]], dtype)
+        # NOTE index math mirrors the reference clamp semantics: base cell
+        # clipped to [0, r-2], frac clipped to [0,1] so boundary points
+        # reproduce corner-clamping exactly.
+        px, py, pz = x * lp["scale"] + 0.5, y * lp["scale"] + 0.5, z * lp["scale"] + 0.5
+        bx = jnp.clip(jnp.floor(px), 0, r - 2).astype(jnp.int32)
+        by = jnp.clip(jnp.floor(py), 0, r - 2).astype(jnp.int32)
+        bz = jnp.clip(jnp.floor(pz), 0, r - 2).astype(jnp.int32)
+        row_idx = bx + by * (r - 1) + bz * (r - 1) * (r - 1)  # [N]
+        G = jnp.take(rows, row_idx, axis=0)  # [N, 16] one width-16 gather
+
+        tx = jnp.clip(px - bx, 0.0, 1.0).astype(dtype)
+        ty = jnp.clip(py - by, 0.0, 1.0).astype(dtype)
+        tz = jnp.clip(pz - bz, 0.0, 1.0).astype(dtype)
+        e0 = jnp.zeros_like(tx)
+        e1 = jnp.zeros_like(tx)
+        for c, (dx, dy, dz) in enumerate(_CORNERS):
+            wx = tx if dx else (1.0 - tx)
+            wy = ty if dy else (1.0 - ty)
+            wz = tz if dz else (1.0 - tz)
+            w = wx * wy * wz
+            e0 = e0 + G[:, c * 2] * w
+            e1 = e1 + G[:, c * 2 + 1] * w
+        e0_rows.append(e0)
+        e1_rows.append(e1)
+    return jnp.stack(e0_rows, axis=0), jnp.stack(e1_rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
+
+def hash_encode_planar(
+    spec: HashGridSpec,
+    planes: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Feature-major hash-grid encoding.
+
+    Args:
+      planes: [2, total] canonical fp32 parameter table.
+      x, y, z: [N] position components in [0, 1].
+    Returns:
+      enc [L*F, N] in plane-major layout: rows 0..L-1 are plane 0 across
+      levels (dense then hash), rows L..2L-1 are plane 1 — the transposed
+      twin of fields.ngp.hashgrid_encode's [N, L*F] output.
+    """
+    dense, hashed = _split_levels(spec)
+    e0d, e1d = _dense_levels_encode(spec, dense, planes, x, y, z, dtype)
+
+    hash_base = hashed[0]["offset"]
+    hp = planes[:, hash_base:]
+    eh = _hash_levels_encode(spec, hp, x, y, z)  # [2, Lh, N]
+
+    enc = jnp.concatenate(
+        [e0d.astype(dtype), eh[0].astype(dtype), e1d.astype(dtype), eh[1].astype(dtype)],
+        axis=0,
+    )
+    return enc

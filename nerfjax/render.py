@@ -140,6 +140,115 @@ def raw2outputs(
     return rgb_map, weights
 
 
+def raw2outputs_planar(
+    rgb: jnp.ndarray,
+    sigma: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    white_bg: bool = False,
+    dist_last: float = 1e10,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Feature-major twin of raw2outputs: rgb [3,B,S], sigma [B,S] ->
+    (rgb_map [B,3], weights [B,S]). Compositing runs in fp32 ([B,S] tiles
+    are lane-aligned for typical S)."""
+    sigma = sigma.astype(jnp.float32)
+    rgb = rgb.astype(jnp.float32)
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], dist_last)], axis=-1)
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans
+    rgb_map = jnp.einsum("bs,cbs->bc", weights, rgb)
+    if white_bg:
+        acc = jnp.sum(weights, axis=-1)
+        rgb_map = rgb_map + (1.0 - acc[..., None])
+    return rgb_map, weights
+
+
+def render_rays_planar(
+    field_coarse,
+    params_coarse,
+    field_fine,
+    params_fine,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    t_near: jnp.ndarray,
+    t_far: jnp.ndarray,
+    n_samples: int,
+    n_importance: int,
+    white_bg: bool = False,
+    train: bool = False,
+    dist_last: float = 1e10,
+    remat: bool = True,
+    dtype=jnp.bfloat16,
+) -> dict[str, jnp.ndarray]:
+    """Feature-major hierarchical render — the TPU hot path.
+
+    Same math as render_rays, but positions/directions flow as [N] component
+    vectors and activations as [C, N], eliminating the lane-padding waste of
+    [N,3]/[N,C<128] layouts (see nerfjax.ops.hash_encode docstring).
+    """
+    B = rays_o.shape[0]
+    k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    ox, oy, oz = rays_o[:, 0], rays_o[:, 1], rays_o[:, 2]
+    dx, dy, dz = rays_d[:, 0], rays_d[:, 1], rays_d[:, 2]
+
+    def eval_field(field, params, z, k):
+        S = z.shape[-1]
+        pos3 = tuple(
+            (o[:, None] + d[:, None] * z).reshape(-1)
+            for o, d in ((ox, dx), (oy, dy), (oz, dz))
+        )
+        view3 = tuple(jnp.broadcast_to(d[:, None], (B, S)).reshape(-1) for d in (dx, dy, dz))
+        rgb, sigma = field.apply_planar(
+            params, pos3, view3, rng=k, train=train, dtype=dtype
+        )
+        return rgb.reshape(3, B, S), sigma.reshape(B, S)
+
+    def eval_coarse(params, z, k):
+        return eval_field(field_coarse, params, z, k)
+
+    def eval_fine(params, z, k):
+        return eval_field(field_fine, params, z, k)
+
+    if remat and train:
+        eval_coarse = jax.checkpoint(eval_coarse)
+        eval_fine = jax.checkpoint(eval_fine)
+
+    # stratified z (same math as stratified_sample, z-only)
+    near = t_near.reshape(-1, 1)
+    far = t_far.reshape(-1, 1)
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+    z = near * (1.0 - t) + far * t
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+    z = lower + (upper - lower) * jax.random.uniform(k_strat, z.shape, z.dtype)
+
+    rgb_c, sigma_c = eval_coarse(params_coarse, z, k_noise_c)
+    rgb_map_c, weights = raw2outputs_planar(rgb_c, sigma_c, z, white_bg, dist_last)
+
+    z_mid = 0.5 * (z[..., :-1] + z[..., 1:])
+    z_imp = sample_pdf(k_pdf, z_mid, weights[..., 1:-1], n_importance)
+    z_imp = jax.lax.stop_gradient(z_imp)
+    z_comb = jnp.sort(jnp.concatenate([z, z_imp], axis=-1), axis=-1)
+
+    rgb_f, sigma_f = eval_fine(params_fine, z_comb, k_noise_f)
+    rgb_map_f, weights_f = raw2outputs_planar(rgb_f, sigma_f, z_comb, white_bg, dist_last)
+
+    return {
+        "rgb_coarse": rgb_map_c,
+        "rgb_fine": rgb_map_f,
+        "weights_coarse": weights,
+        "weights_fine": weights_f,
+        "z_vals": z_comb,
+    }
+
+
 def render_rays(
     field_coarse,
     params_coarse,
@@ -155,6 +264,7 @@ def render_rays(
     white_bg: bool = False,
     train: bool = False,
     dist_last: float = 1e10,
+    remat: bool = True,
 ) -> dict[str, jnp.ndarray]:
     """Hierarchical coarse->fine render of a ray batch, fully jit-traceable.
 
@@ -162,15 +272,31 @@ def render_rays(
     including its python chunking loop — into straight-line XLA: the
     [B*S, 3] point tensors go through the field in one shot and XLA tiles
     them onto the MXU.
+
+    remat: rematerialize the per-point field evaluations in the backward
+    pass (jax.checkpoint). The hash-encode gather produces [B*S, L, 8, F]
+    intermediates that would otherwise be saved for grad — at the blender
+    operating point (8192 rays x 192 fine samples) that overflows HBM;
+    recomputing them trades cheap FLOPs for ~10x less live memory.
     """
     B = rays_o.shape[0]
     k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
 
+    def eval_coarse(p, x, d, k):
+        return field_coarse.apply(p, x, d, rng=k, train=train)
+
+    def eval_fine(p, x, d, k):
+        return field_fine.apply(p, x, d, rng=k, train=train)
+
+    if remat and train:
+        eval_coarse = jax.checkpoint(eval_coarse)
+        eval_fine = jax.checkpoint(eval_fine)
+
     pts, z_vals = stratified_sample(k_strat, rays_o, rays_d, t_near, t_far, n_samples)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
 
-    rgb_c, sigma_c = field_coarse.apply(
-        params_coarse, pts.reshape(-1, 3), dirs.reshape(-1, 3), rng=k_noise_c, train=train
+    rgb_c, sigma_c = eval_coarse(
+        params_coarse, pts.reshape(-1, 3), dirs.reshape(-1, 3), k_noise_c
     )
     rgb_c = rgb_c.reshape(B, n_samples, 3)
     sigma_c = sigma_c.reshape(B, n_samples)
@@ -184,8 +310,8 @@ def render_rays(
     S = n_samples + n_importance
     dirs_f = jnp.broadcast_to(rays_d[:, None, :], pts_f.shape)
 
-    rgb_f, sigma_f = field_fine.apply(
-        params_fine, pts_f.reshape(-1, 3), dirs_f.reshape(-1, 3), rng=k_noise_f, train=train
+    rgb_f, sigma_f = eval_fine(
+        params_fine, pts_f.reshape(-1, 3), dirs_f.reshape(-1, 3), k_noise_f
     )
     rgb_f = rgb_f.reshape(B, S, 3)
     sigma_f = sigma_f.reshape(B, S)

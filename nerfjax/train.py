@@ -1,0 +1,366 @@
+"""Training: one jitted, mesh-sharded train step + the full training loop.
+
+The reference's hot loop (scripts/train.py:279-338) is: host batch -> GPU
+copy -> autocast forward_pass with python chunking -> GradScaler backward ->
+AdamW + OneCycleLR step. Here the ENTIRE body — stratified sampling, coarse
+field, compositing, inverse-CDF importance sampling, fine field, MSE losses,
+gradients, (XLA-inserted) gradient all-reduce, AdamW update, LR schedule —
+is one jitted function over a 1-D device mesh:
+
+  * ray batch sharded along the ``data`` mesh axis, params replicated;
+  * bf16 compute / fp32 params & compositing instead of AMP+GradScaler
+    (bf16 needs no loss scaling on TPU);
+  * donated state buffers (no optimizer-state copies per step);
+  * double-buffered host->device prefetch replaces DataLoader workers.
+
+NGP mode shares one model as coarse==fine (reference: scripts/train.py:219-222),
+so its gradients accumulate through both passes of the same params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfjax.config import ConfigNode
+from nerfjax.data import RayDataset, prefetch_to_device
+from nerfjax.fields.ngp import InstantNGP
+from nerfjax.fields.vanilla import VanillaNeRF
+from nerfjax.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+)
+from nerfjax.render import render_rays_planar
+
+
+# ---------------------------------------------------------------------------
+# Model construction
+# ---------------------------------------------------------------------------
+
+
+def build_fields(cfg: ConfigNode):
+    """Create (field_coarse, field_fine, shared) per config.
+
+    ngp=true shares one InstantNGP for both passes; vanilla uses two
+    independent MLPs (reference: scripts/train.py:219-228).
+    """
+    if cfg.get("ngp", True):
+        field = InstantNGP(nerf_type=cfg.get("nerf_type", "large"))
+        return field, field, True
+    field = VanillaNeRF(
+        pos_L=cfg.get("pos_L", 10),
+        dir_L=cfg.get("dir_L", 4),
+        hidden_dim=cfg.get("hidden_dim", 256),
+    )
+    return field, field, False
+
+
+def init_params(cfg: ConfigNode, key: jax.Array) -> dict:
+    fc, ff, shared = build_fields(cfg)
+    kc, kf = jax.random.split(key)
+    if shared:
+        return {"model": fc.init(kc)}
+    return {"coarse": fc.init(kc), "fine": ff.init(kf)}
+
+
+def _split_params(params: dict) -> tuple[Any, Any]:
+    if "model" in params:
+        return params["model"], params["model"]
+    return params["coarse"], params["fine"]
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    """Static (hashable) settings baked into the compiled step."""
+
+    n_samples: int = 64
+    n_importance: int = 128
+    white_bg: bool = False
+    # bf16 compute / fp32 params & compositing. The fp32 twin of the
+    # reference (scripts/train_no_amp.py) is precision="fp32" +
+    # dist_last=1e6 + grad_clip=1.0.
+    precision: str = "bf16"
+    dist_last: float = 1e10
+    grad_clip: float | None = None
+    lr: float = 5e-4
+    weight_decay: float = 1e-6
+    total_steps: int = 1000
+    onecycle: bool = True
+
+    @classmethod
+    def from_cfg(cls, cfg: ConfigNode, total_steps: int) -> "TrainSettings":
+        return cls(
+            n_samples=cfg.get("N_samples", 64),
+            n_importance=cfg.get("N_importance", 128),
+            white_bg=bool(cfg.get("white_bg", False)),
+            precision=cfg.get("precision", "bf16"),
+            dist_last=float(cfg.get("dist_last", 1e10)),
+            grad_clip=cfg.get("grad_clip", None),
+            lr=float(cfg.get("lr", 5e-4)),
+            weight_decay=float(cfg.get("weight_decay", 1e-6)),
+            total_steps=total_steps,
+            onecycle=bool(cfg.get("onecycle", True)),
+        )
+
+
+def make_schedule(s: TrainSettings) -> optax.Schedule:
+    """OneCycle cosine schedule matching torch.optim.lr_scheduler.OneCycleLR
+    with max_lr=10*lr, pct_start=0.1, div_factor=10, final_div_factor=100
+    (reference: scripts/train.py:251-259)."""
+    if not s.onecycle:
+        return optax.constant_schedule(s.lr)
+    # optax int-truncates the pct_start boundary; with < 10 total steps the
+    # warmup interval collapses to zero length and the LR goes NaN.
+    if s.total_steps < 10:
+        return optax.constant_schedule(s.lr)
+    return optax.cosine_onecycle_schedule(
+        transition_steps=s.total_steps,
+        peak_value=s.lr * 10.0,
+        pct_start=0.1,
+        div_factor=10.0,
+        final_div_factor=100.0,
+    )
+
+
+def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
+    """AdamW(lr, wd=1e-6) + optional global-norm clip
+    (reference: scripts/train.py:244-248; clip active only in the fp32 twin,
+    scripts/train_no_amp.py:313-316)."""
+    tx = optax.adamw(learning_rate=make_schedule(s), weight_decay=s.weight_decay)
+    if s.grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(float(s.grad_clip)), tx)
+    return tx
+
+
+def loss_fn(
+    params: dict,
+    batch: dict[str, jnp.ndarray],
+    key: jax.Array,
+    field_coarse,
+    field_fine,
+    settings: TrainSettings,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """MSE(coarse) + MSE(fine) over a ray batch (reference train.py:182-184)."""
+    pc, pf = _split_params(params)
+    dtype = jnp.bfloat16 if settings.precision == "bf16" else jnp.float32
+
+    out = render_rays_planar(
+        field_coarse,
+        pc,
+        field_fine,
+        pf,
+        key,
+        batch["rays_o"],
+        batch["rays_d"],
+        batch["t_near"],
+        batch["t_far"],
+        settings.n_samples,
+        settings.n_importance,
+        white_bg=settings.white_bg,
+        train=True,
+        dist_last=settings.dist_last,
+        dtype=dtype,
+    )
+    target = batch["rgb"]
+    loss_c = jnp.mean((out["rgb_coarse"].astype(jnp.float32) - target) ** 2)
+    loss_f = jnp.mean((out["rgb_fine"].astype(jnp.float32) - target) ** 2)
+    total = loss_c + loss_f
+    psnr = -10.0 * jnp.log10(loss_f)
+    return total, {"loss_coarse": loss_c, "loss_fine": loss_f, "psnr": psnr}
+
+
+def make_train_step(
+    cfg_or_settings,
+    field_coarse,
+    field_fine,
+    tx: optax.GradientTransformation,
+    mesh,
+) -> Callable:
+    """Build the jitted, sharded train step.
+
+    state = (params, opt_state, step:int32) all replicated; batch sharded on
+    dim 0. XLA inserts the gradient all-reduce over ICI because replicated
+    outputs (params) depend on sharded inputs (batch).
+    """
+    settings = cfg_or_settings
+
+    def step_fn(params, opt_state, step, key, batch):
+        skey = jax.random.fold_in(key, step)
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, skey, field_coarse, field_fine, settings
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss_total": total,
+            "loss_coarse": aux["loss_coarse"],
+            "loss_fine": aux["loss_fine"],
+            "psnr": aux["psnr"],
+        }
+        return params, opt_state, step + 1, metrics
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, repl, bsh),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+
+def train(
+    cfg: ConfigNode,
+    *,
+    mesh=None,
+    seed: int = 0,
+    resume: bool = False,
+    log_every: int = 100,
+    profile_dir: str | None = None,
+) -> dict:
+    """Full training entry point (reference: scripts/train.py:189-370).
+
+    Returns the final params dict. Writes TensorBoard event files with the
+    same scalar names and epoch/final checkpoints with the same file names
+    and dict layout as the reference.
+    """
+    from nerfjax import checkpoint as ckpt
+    from nerfjax.logging_utils import Logger
+
+    if mesh is None:
+        mesh = make_mesh()
+
+    output_dir = Path(cfg.output_dir)
+    checkpoint_dir = Path(cfg.checkpoint_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+
+    logger = Logger(output_dir / "logs")
+    dataset = RayDataset(cfg.rays_file, use_memmap=bool(cfg.get("use_memmap", False)))
+
+    batch_size = int(cfg.batch_size)
+    num_epochs = int(cfg.num_epochs)
+    steps_per_epoch = dataset.steps_per_epoch(batch_size)
+    total_steps = num_epochs * steps_per_epoch
+
+    settings = TrainSettings.from_cfg(cfg, total_steps)
+    field_coarse, field_fine, shared = build_fields(cfg)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_train = jax.random.split(key)
+    params = init_params(cfg, k_init)
+    tx = make_optimizer(settings)
+    opt_state = tx.init(params)
+    step = jnp.zeros((), jnp.int32)
+    start_epoch = 1
+
+    if resume:
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            params, opt_state, restored_epoch = ckpt.restore_train_state(
+                latest, cfg, params, opt_state
+            )
+            start_epoch = restored_epoch + 1
+            step = jnp.asarray(restored_epoch * steps_per_epoch, jnp.int32)
+            print(f"Resumed from {latest} at epoch {restored_epoch}")
+
+    n_field_params = sum(
+        int(x.size) for x in jax.tree_util.tree_leaves(params)
+    )
+    print(f"NERF: {n_field_params * 1e-6:.3f}M")
+    print(f"Devices: {len(mesh.devices.ravel())} ({mesh.devices.ravel()[0].platform})")
+    print(f"White background: {settings.white_bg}")
+    print(f"Starting training for {num_epochs} epochs")
+    print(f"Total steps: {total_steps}")
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = replicate(step, mesh)
+    k_train = replicate(k_train, mesh)
+
+    train_step = make_train_step(settings, field_coarse, field_fine, tx, mesh)
+
+    start_time = time.time()
+    rays_done = 0
+    metrics_host = {}
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    try:
+        for epoch in range(start_epoch, num_epochs + 1):
+            batches = dataset.epoch_batches(batch_size, seed=seed * 100003 + epoch)
+            for idx, batch in enumerate(prefetch_to_device(batches, mesh)):
+                params, opt_state, step, metrics = train_step(
+                    params, opt_state, step, k_train, batch
+                )
+                rays_done += batch_size
+
+                if idx % log_every == 0:
+                    metrics_host = {k: float(v) for k, v in metrics.items()}
+                    elapsed = time.time() - start_time
+                    rays_per_s = rays_done / max(elapsed, 1e-9)
+                    print(
+                        f"| Epoch: {epoch} | Iteration: {idx} | "
+                        f"Loss: {metrics_host['loss_total']:.4f} "
+                        f"(Coarse: {metrics_host['loss_coarse']:.4f}, "
+                        f"Fine: {metrics_host['loss_fine']:.4f}) | "
+                        f"PSNR: {metrics_host['psnr']:.2f} | "
+                        f"Time: {elapsed:.2f}s | {rays_per_s:,.0f} rays/s |"
+                    )
+                    gstep = epoch * steps_per_epoch + idx
+                    sched = make_schedule(settings)
+                    logger.scalars(
+                        gstep,
+                        {
+                            "Loss/Coarse": metrics_host["loss_coarse"],
+                            "Loss/Fine": metrics_host["loss_fine"],
+                            "Loss/Total": metrics_host["loss_total"],
+                            "PSNR": metrics_host["psnr"],
+                            "Scheduler Step": float(sched(int(jax.device_get(step)) - 1)),
+                            "rays_per_sec": rays_per_s,
+                        },
+                    )
+
+            if epoch % 2 == 0:
+                path = checkpoint_dir / f"nerf_epoch_{epoch:06d}.pth"
+                ckpt.save_train_state(path, cfg, params, opt_state, epoch)
+                print(f"Saved checkpoint to {path}")
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+
+    final_path = checkpoint_dir / "nerf_final.pth"
+    ckpt.save_train_state(final_path, cfg, params, opt_state, num_epochs)
+    total_time = time.time() - start_time
+    print(f"Saved final models to {final_path}")
+    print(f"Training completed in {total_time:.2f}s")
+    print("Training completed.")
+    logger.close()
+
+    return {
+        "params": jax.device_get(params),
+        "metrics": metrics_host,
+        "total_time": total_time,
+        "rays_per_sec": rays_done / max(total_time, 1e-9),
+    }

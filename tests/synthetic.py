@@ -1,0 +1,160 @@
+"""Procedural synthetic scene fixture.
+
+The reference repo ships no data (data/ is gitignored), so tests use an
+analytic scene: a soft colored sphere of radius 0.5 at the origin inside the
+[-1,1]^3 cube. Ground-truth ray colors come from dense numpy ray marching of
+the analytic field with the same compositing math — a deterministic target a
+NeRF can actually fit.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def analytic_density(pts: np.ndarray) -> np.ndarray:
+    """Soft sphere: sigma=25 inside r<0.5, smooth falloff."""
+    r = np.linalg.norm(pts, axis=-1)
+    return 25.0 / (1.0 + np.exp((r - 0.5) * 40.0))
+
+
+def analytic_rgb(pts: np.ndarray) -> np.ndarray:
+    """Position-coded color in [0,1]."""
+    return np.clip(pts * 0.5 + 0.5, 0.0, 1.0)
+
+
+def march_rays(
+    rays_o: np.ndarray, rays_d: np.ndarray, t_near: np.ndarray, t_far: np.ndarray,
+    n_steps: int = 256,
+) -> np.ndarray:
+    """Dense deterministic ray march of the analytic field (numpy oracle)."""
+    t = np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
+    z = t_near[:, None] * (1 - t) + t_far[:, None] * t  # [N,S]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    sigma = analytic_density(pts)
+    rgb = analytic_rgb(pts)
+    dists = np.diff(z, axis=-1)
+    dists = np.concatenate([dists, np.full_like(dists[:, :1], 1e10)], -1)
+    alpha = 1.0 - np.exp(-sigma * dists)
+    trans = np.cumprod(
+        np.concatenate([np.ones_like(alpha[:, :1]), 1 - alpha + 1e-10], -1), -1
+    )[:, :-1]
+    w = alpha * trans
+    return (w[..., None] * rgb).sum(1).astype(np.float32)
+
+
+def make_ray_npz(path: str | Path, n_rays: int = 8192, seed: int = 0) -> dict:
+    """Random inward rays from a shell, with analytic target colors."""
+    rng = np.random.default_rng(seed)
+    o = rng.normal(size=(n_rays * 2, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    target = rng.uniform(-0.4, 0.4, size=(n_rays * 2, 3)).astype(np.float32)
+    d = target - o
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    # slab intersection with [-1,1]^3
+    eps = 1e-8
+    dd = np.where(np.abs(d) < eps, eps, d)
+    t0 = (-1 - o) / dd
+    t1 = (1 - o) / dd
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    hit = (tn <= tf) & (tf >= 0)
+    o, d, tn, tf = o[hit][:n_rays], d[hit][:n_rays], tn[hit][:n_rays], tf[hit][:n_rays]
+    tn = np.maximum(tn, 0.0)
+
+    rgb = march_rays(o, d, tn, tf)
+    data = {
+        "rays_o": o.astype(np.float32),
+        "rays_d": d.astype(np.float32),
+        "rgbs": rgb,
+        "t_near": tn.astype(np.float32),
+        "t_far": tf.astype(np.float32),
+    }
+    np.savez_compressed(path, **data)
+    return data
+
+
+def make_image_scene(scene_dir: str | Path, scene_name: str, n_frames: int = 4,
+                     H: int = 32, W: int = 32) -> Path:
+    """Full image-based synthetic scene: posed PNG renders + transforms JSON
+    (the C5 output contract), for exercising the precompute/train CLIs."""
+    from PIL import Image
+
+    scene_dir = Path(scene_dir)
+    scene_dir.mkdir(parents=True, exist_ok=True)
+    f = 0.8 * W
+    K = [[f, 0.0, W / 2], [0.0, f, H / 2], [0.0, 0.0, 1.0]]
+
+    frames = []
+    for i in range(n_frames):
+        ang = 2 * np.pi * i / n_frames
+        cam_pos = np.array([2.5 * np.cos(ang), 2.5 * np.sin(ang), 1.2])
+        # look-at origin (OpenGL: camera looks down -z)
+        fwd = -cam_pos / np.linalg.norm(cam_pos)  # view direction
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = true_up
+        c2w[:3, 2] = -fwd  # -z is forward in OpenGL
+        c2w[:3, 3] = cam_pos
+
+        # render the frame analytically through the same ray model
+        Kinv = np.linalg.inv(np.array(K))
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        pix = np.stack([u.ravel(), v.ravel(), np.ones(H * W)], 0)
+        dirs = np.diag([1.0, -1.0, -1.0]) @ (Kinv @ pix)
+        dirs /= np.linalg.norm(dirs, axis=0, keepdims=True)
+        world_d = (c2w[:3, :3] @ dirs).T.astype(np.float32)
+        world_o = np.tile(cam_pos[None].astype(np.float32), (H * W, 1))
+
+        dd = np.where(np.abs(world_d) < 1e-8, 1e-8, world_d)
+        t0 = (-1 - world_o) / dd
+        t1 = (1 - world_o) / dd
+        tn = np.maximum(np.minimum(t0, t1).max(-1), 0.0)
+        tf = np.maximum(t0, t1).min(-1)
+        ok = tn <= tf
+        rgb = np.zeros((H * W, 3), np.float32)
+        if ok.any():
+            rgb[ok] = march_rays(world_o[ok], world_d[ok], tn[ok], tf[ok])
+        img = (rgb.reshape(H, W, 3) * 255).astype(np.uint8)
+        img_path = scene_dir / f"frame_{i:03d}.png"
+        Image.fromarray(img).save(img_path)
+        frames.append(
+            {"file_path": str(img_path), "transform_matrix": c2w.tolist()}
+        )
+
+    meta = {
+        "w": W,
+        "h": H,
+        "fl_x": f,
+        "fl_y": f,
+        "k1": 0.0, "k2": 0.0, "k3": 0.0, "k4": 0.0, "p1": 0.0, "p2": 0.0,
+        "cx": W / 2, "cy": H / 2,
+        "is_fisheye": False,
+        "K": K,
+        "frames": frames,
+        "scene_aabb": {
+            "aabb_min": [-0.8, -0.8, -0.8],
+            "aabb_max": [0.8, 0.8, 0.8],
+            "aabb_center": [0.0, 0.0, 0.0],
+            "aabb_size": [1.6, 1.6, 1.6],
+            "aabb_volume": 1.6**3,
+            "volume_efficiency": 1.0,
+            "percentile_bounds": {"lower": 1.0, "upper": 99.0},
+            "padding": 0.05,
+            "num_points": 0,
+            "aabb_remove_below": -0.8,
+            "aabb_remove_above": 0.8,
+        },
+        "normalization": {"center": [0.0, 0.0, 0.0], "scale": 1.0},
+    }
+    tj = scene_dir / f"transforms_{scene_name}.json"
+    tj.write_text(json.dumps(meta))
+    return tj

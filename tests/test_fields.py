@@ -81,19 +81,45 @@ def test_hashgrid_encode_interpolates():
     """At an exact grid vertex of level 0 the encoding's level-0 channels must
     equal that vertex's table entry (trilinear weight collapses to 1)."""
     spec = HashGridSpec(n_levels=1, log2_hashmap_size=15, base_resolution=16)
-    table = jax.random.normal(jax.random.PRNGKey(0), (spec.total_table_size, 2))
+    table = jax.random.normal(jax.random.PRNGKey(0), (2, spec.total_table_size))
     # level 0: scale = 15. pos = x*15 + 0.5. Choose x so pos lands on vertex 3:
     # x*15 + 0.5 = 3  ->  x = 2.5/15
     x = jnp.array([[2.5 / 15, 2.5 / 15, 2.5 / 15]])
     enc = hashgrid_encode(spec, table, x)
     res = spec.level_params()[0]["res"]
     vidx = 3 + 3 * res + 3 * res * res
-    np.testing.assert_allclose(np.asarray(enc[0]), np.asarray(table[vidx]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(enc[0]), np.asarray(table[:, vidx]), rtol=1e-4
+    )
+
+
+def test_hashgrid_encode_matches_manual_trilinear():
+    """Full trilinear check against a tiny numpy oracle at a generic point."""
+    spec = HashGridSpec(n_levels=1, log2_hashmap_size=15, base_resolution=16)
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(2, spec.total_table_size)).astype(np.float32)
+    res = spec.level_params()[0]["res"]
+    scale = spec.level_params()[0]["scale"]
+    x = np.array([[0.31, 0.57, 0.83]], np.float32)
+    pos = x[0] * scale + 0.5
+    p0 = np.floor(pos).astype(int)
+    t = pos - p0
+    expect = np.zeros(2)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                vid = (p0[0] + dx) + (p0[1] + dy) * res + (p0[2] + dz) * res * res
+                w = (t[0] if dx else 1 - t[0]) * (t[1] if dy else 1 - t[1]) * (
+                    t[2] if dz else 1 - t[2]
+                )
+                expect += w * table[:, vid]
+    enc = hashgrid_encode(spec, jnp.asarray(table), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(enc[0]), expect, rtol=1e-4)
 
 
 def test_hashgrid_encode_continuity():
     spec = HashGridSpec(n_levels=4, log2_hashmap_size=15)
-    table = jax.random.normal(jax.random.PRNGKey(0), (spec.total_table_size, 2)) * 0.1
+    table = jax.random.normal(jax.random.PRNGKey(0), (2, spec.total_table_size)) * 0.1
     x = jnp.array([[0.3, 0.4, 0.5]])
     eps = 1e-5
     e0 = hashgrid_encode(spec, table, x)

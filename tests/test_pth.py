@@ -1,0 +1,110 @@
+"""Torch-zip .pth format: round-trip with ourselves AND cross-compat with
+real torch (available in the test image; nerfjax itself never imports it)."""
+
+import numpy as np
+import pytest
+
+from nerfjax import pth
+
+
+def _sample_obj():
+    return {
+        "iteration": 4,
+        "nested": {
+            "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+            "b": np.array([1.5, -2.5], dtype=np.float32),
+            "flag": True,
+            "none": None,
+            "name": "hello",
+        },
+        "ints": [1, 2, 3_000_000_000],
+        "floats": [0.25, -1e10],
+        "u8": np.array([[0, 255], [7, 9]], dtype=np.uint8),
+        "i64": np.array([1, -(2**40)], dtype=np.int64),
+        "scalar": np.float32(2.5),
+    }
+
+
+def _assert_same(a, b):
+    if isinstance(a, dict):
+        assert set(a) == set(b)
+        for k in a:
+            _assert_same(a[k], b[k])
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            _assert_same(x, y)
+    elif isinstance(a, np.ndarray):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    elif isinstance(a, float):
+        assert a == pytest.approx(b)
+    else:
+        assert a == b or (np.isscalar(a) and float(a) == float(b))
+
+
+def test_roundtrip_self(tmp_path):
+    p = tmp_path / "x.pth"
+    obj = _sample_obj()
+    pth.save(obj, p)
+    back = pth.load(p)
+    _assert_same(obj, back)
+
+
+def test_torch_can_load_ours(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = tmp_path / "x.pth"
+    obj = _sample_obj()
+    pth.save(obj, p)
+    loaded = torch.load(p, map_location="cpu", weights_only=False)
+    assert loaded["iteration"] == 4
+    np.testing.assert_array_equal(
+        loaded["nested"]["w"].numpy(), obj["nested"]["w"]
+    )
+    np.testing.assert_array_equal(loaded["u8"].numpy(), obj["u8"])
+    np.testing.assert_array_equal(loaded["i64"].numpy(), obj["i64"])
+    assert loaded["nested"]["flag"] is True
+    assert loaded["nested"]["none"] is None
+    assert loaded["nested"]["name"] == "hello"
+    assert loaded["ints"] == [1, 2, 3_000_000_000]
+
+
+def test_we_can_load_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = tmp_path / "t.pth"
+    obj = {
+        "iteration": 7,
+        "sd": {
+            "layer.weight": torch.arange(6, dtype=torch.float32).reshape(2, 3),
+            "layer.bias": torch.tensor([1.0, 2.0]),
+        },
+        "meta": {"resolution": 64, "bounds": [-1.0, 1.0]},
+        "occ": torch.ones(4, 4, dtype=torch.uint8),
+    }
+    torch.save(obj, p)
+    back = pth.load(p)
+    assert back["iteration"] == 7
+    np.testing.assert_array_equal(
+        back["sd"]["layer.weight"], np.arange(6, dtype=np.float32).reshape(2, 3)
+    )
+    np.testing.assert_array_equal(back["occ"], np.ones((4, 4), np.uint8))
+    assert back["meta"]["bounds"] == [-1.0, 1.0]
+
+
+def test_we_can_load_noncontiguous_torch_tensor(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = tmp_path / "t.pth"
+    base = torch.arange(12, dtype=torch.float32).reshape(3, 4)
+    torch.save({"t": base.t()}, p)  # transposed view: non-trivial strides
+    back = pth.load(p)
+    np.testing.assert_array_equal(
+        back["t"], np.arange(12, dtype=np.float32).reshape(3, 4).T
+    )
+
+
+def test_extra_records_survive_and_torch_ignores(tmp_path):
+    torch = pytest.importorskip("torch")
+    p = tmp_path / "x.pth"
+    pth.save({"a": 1}, p, extra_records={"blob.bin": b"\x00\x01binary"})
+    assert pth.load_extra_record(p, "blob.bin") == b"\x00\x01binary"
+    assert pth.load_extra_record(p, "missing.bin") is None
+    assert torch.load(p, weights_only=False)["a"] == 1

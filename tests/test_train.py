@@ -1,0 +1,186 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfjax.config import ConfigNode, with_defaults
+from nerfjax.data import RayDataset, prefetch_to_device
+from nerfjax.parallel import make_mesh
+from nerfjax.train import (
+    TrainSettings,
+    build_fields,
+    init_params,
+    loss_fn,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+    train,
+)
+from tests.synthetic import make_ray_npz
+
+
+def _tiny_cfg(tmp_path, **over):
+    base = {
+        "scene_name": "tiny",
+        "output_dir": str(tmp_path / "out"),
+        "checkpoint_dir": str(tmp_path / "out/ckpt"),
+        "rays_file": str(tmp_path / "tiny_ray_data.npz"),
+        "batch_size": 256,
+        "num_epochs": 1,
+        "lr": 5e-3,
+        "ngp": False,
+        "hidden_dim": 32,
+        "pos_L": 4,
+        "dir_L": 2,
+        "N_samples": 16,
+        "N_importance": 16,
+        "white_bg": False,
+        "precision": "fp32",
+    }
+    base.update(over)
+    return with_defaults(ConfigNode(base))
+
+
+def test_onecycle_schedule_matches_torch_shape():
+    s = TrainSettings(lr=1e-3, total_steps=1000)
+    sched = make_schedule(s)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(100))  # pct_start=0.1 -> peak at step 100
+    lr_end = float(sched(999))
+    assert lr0 == pytest.approx(1e-3, rel=0.05)  # initial = max_lr/div = lr
+    assert lr_peak == pytest.approx(1e-2, rel=0.05)  # peak = 10*lr
+    assert lr_end < 2e-5  # final ~= initial/100
+    assert lr_peak > lr0 > lr_end
+
+
+def test_dataset_batches_static_shapes(tmp_path):
+    npz = tmp_path / "tiny_ray_data.npz"
+    make_ray_npz(npz, n_rays=1000)
+    ds = RayDataset(npz, verbose=False)
+    assert len(ds) == 1000
+    batches = list(ds.epoch_batches(batch_size=256, seed=0))
+    assert len(batches) == 3  # drop_last
+    for b in batches:
+        assert b["rays_o"].shape == (256, 3)
+        assert b["rgb"].shape == (256, 3)
+        assert b["t_near"].shape == (256,)
+    # different seeds shuffle differently
+    b2 = next(iter(ds.epoch_batches(batch_size=256, seed=1)))
+    assert not np.allclose(batches[0]["rays_o"], b2["rays_o"])
+
+
+def test_train_step_decreases_loss_vanilla(tmp_path):
+    npz = tmp_path / "tiny_ray_data.npz"
+    make_ray_npz(npz, n_rays=4096)
+    cfg = _tiny_cfg(tmp_path)
+    ds = RayDataset(cfg.rays_file, verbose=False)
+    mesh = make_mesh()
+
+    settings = TrainSettings.from_cfg(cfg, total_steps=200)
+    fc, ff, _ = build_fields(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(settings)
+    opt_state = tx.init(params)
+    from nerfjax.parallel import replicate
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = replicate(jnp.zeros((), jnp.int32), mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+
+    step_fn = make_train_step(settings, fc, ff, tx, mesh)
+
+    losses = []
+    for epoch in range(16):
+        for batch in prefetch_to_device(ds.epoch_batches(256, seed=epoch), mesh):
+            params, opt_state, step, metrics = step_fn(
+                params, opt_state, step, key, batch
+            )
+            losses.append(float(metrics["loss_total"]))
+
+    assert np.isfinite(losses).all()
+    early = np.mean(losses[:5])
+    late = np.mean(losses[-5:])
+    assert late < early * 0.5, f"loss did not halve: {early} -> {late}"
+
+
+def test_train_step_ngp_bf16(tmp_path):
+    """NGP shared-model mode with bf16 compute runs and improves."""
+    npz = tmp_path / "tiny_ray_data.npz"
+    make_ray_npz(npz, n_rays=2048)
+    cfg = _tiny_cfg(
+        tmp_path, ngp=True, nerf_type="small", precision="bf16", lr=1e-2
+    )
+    ds = RayDataset(cfg.rays_file, verbose=False)
+    mesh = make_mesh()
+    settings = TrainSettings.from_cfg(cfg, total_steps=100)
+    fc, ff, shared = build_fields(cfg)
+    assert shared
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    assert set(params) == {"model"}
+    tx = make_optimizer(settings)
+    from nerfjax.parallel import replicate
+
+    opt_state = replicate(tx.init(params), mesh)
+    params = replicate(params, mesh)
+    step = replicate(jnp.zeros((), jnp.int32), mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+    step_fn = make_train_step(settings, fc, ff, tx, mesh)
+
+    losses = []
+    for epoch in range(8):
+        for batch in prefetch_to_device(ds.epoch_batches(256, seed=epoch), mesh):
+            params, opt_state, step, m = step_fn(params, opt_state, step, key, batch)
+            losses.append(float(m["loss_total"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_batch_actually_sharded(tmp_path):
+    """The ray batch must land dim-0-sharded across all 8 virtual devices."""
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    from nerfjax.parallel import shard_batch
+
+    batch = {"rays_o": np.zeros((256, 3), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    shards = sharded["rays_o"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape == (32, 3)
+
+
+def test_full_train_loop_and_checkpoints(tmp_path):
+    """train(cfg) end to end: checkpoints written with the reference layout,
+    resume continues from the saved epoch."""
+    from nerfjax import checkpoint as ckpt
+    from nerfjax import pth
+
+    npz = tmp_path / "tiny_ray_data.npz"
+    make_ray_npz(npz, n_rays=1024)
+    cfg = _tiny_cfg(tmp_path, num_epochs=2, batch_size=256)
+    result = train(cfg, log_every=1000)
+    assert np.isfinite(result["metrics"]["loss_total"])
+
+    ckpt_dir = tmp_path / "out/ckpt"
+    files = sorted(p.name for p in ckpt_dir.iterdir())
+    assert "nerf_final.pth" in files
+    assert "nerf_epoch_000002.pth" in files
+
+    obj = pth.load(ckpt_dir / "nerf_final.pth")
+    assert set(obj) == {
+        "iteration",
+        "nerf_coarse_state_dict",
+        "nerf_fine_state_dict",
+        "optimizer_state_dict",
+    }
+    assert obj["iteration"] == 2
+    assert "pos_layers.0.weight" in obj["nerf_coarse_state_dict"]
+    # torch Linear layout [out, in]
+    assert obj["nerf_coarse_state_dict"]["pos_layers.0.weight"].shape[0] == 32
+
+    # resume from epoch 2: runs epochs 3..4
+    cfg2 = _tiny_cfg(tmp_path, num_epochs=4, batch_size=256)
+    train(cfg2, resume=True, log_every=1000)
+    obj2 = pth.load(ckpt_dir / "nerf_final.pth")
+    assert obj2["iteration"] == 4
