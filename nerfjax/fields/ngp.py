@@ -284,6 +284,12 @@ class InstantNGP:
         y = jnp.clip((pos3[1] + 1.0) * 0.5, 0.0, 1.0)
         z = jnp.clip((pos3[2] + 1.0) * 0.5, 0.0, 1.0)
         enc = hash_encode_planar(self.spec, params["table"], x, y, z, dtype=dtype)
+        # Under remat, save the gathered encoding ([2L, N] bf16 is small) so
+        # the backward pass does not re-run the 100M+ random gathers; only
+        # the cheap MLPs are recomputed (policy set in render_rays_planar).
+        from jax.ad_checkpoint import checkpoint_name
+
+        enc = checkpoint_name(enc, "hash_enc")
         h = enc
         for p in params["dmlp"][:-1]:
             h = jax.nn.relu(

@@ -216,8 +216,11 @@ def render_rays_planar(
         return eval_field(field_fine, params, z, k)
 
     if remat and train:
-        eval_coarse = jax.checkpoint(eval_coarse)
-        eval_fine = jax.checkpoint(eval_fine)
+        # Save the hash-encode outputs across the remat boundary (their
+        # recompute is 100M+ random gathers); recompute everything else.
+        policy = jax.checkpoint_policies.save_only_these_names("hash_enc")
+        eval_coarse = jax.checkpoint(eval_coarse, policy=policy)
+        eval_fine = jax.checkpoint(eval_fine, policy=policy)
 
     # stratified z (same math as stratified_sample, z-only)
     near = t_near.reshape(-1, 1)
