@@ -58,6 +58,7 @@ def main() -> None:
                 "N_importance": N_IMPORTANCE,
                 "precision": "bf16",
                 "lr": 5e-4,
+                "occupancy_grid": True,
             }
         )
     )
@@ -67,6 +68,9 @@ def main() -> None:
     tx = make_optimizer(settings)
     opt_state = tx.init(params)
 
+    from nerfjax.train import init_occupancy
+
+    occ_grid = replicate(init_occupancy(settings), mesh)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
     step = replicate(jnp.zeros((), jnp.int32), mesh)
@@ -92,17 +96,17 @@ def main() -> None:
     train_step = make_train_step(settings, fc, ff, tx, mesh)
 
     for _ in range(WARMUP_STEPS):
-        params, opt_state, step, metrics = train_step(
-            params, opt_state, step, key, batch
+        params, opt_state, step, occ_grid, metrics = train_step(
+            params, opt_state, step, occ_grid, key, batch
         )
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])  # host fetch = real device sync
 
     t0 = time.perf_counter()
     for _ in range(BENCH_STEPS):
-        params, opt_state, step, metrics = train_step(
-            params, opt_state, step, key, batch
+        params, opt_state, step, occ_grid, metrics = train_step(
+            params, opt_state, step, occ_grid, key, batch
         )
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])  # host fetch = real device sync
     dt = time.perf_counter() - t0
 
     rays_per_sec = BENCH_STEPS * B / dt

@@ -184,12 +184,19 @@ def render_rays_planar(
     dist_last: float = 1e10,
     remat: bool = True,
     dtype=jnp.bfloat16,
+    occ_spec=None,
+    occ_grid=None,
 ) -> dict[str, jnp.ndarray]:
     """Feature-major hierarchical render — the TPU hot path.
 
     Same math as render_rays, but positions/directions flow as [N] component
     vectors and activations as [C, N], eliminating the lane-padding waste of
     [N,3]/[N,C<128] layouts (see nerfjax.ops.hash_encode docstring).
+
+    With (occ_spec, occ_grid) the coarse depths come from occupancy-weighted
+    inverse-CDF sampling instead of uniform stratification (empty-space
+    skipping; nerfjax.ops.occupancy) — the capability the reference's
+    Instant-NGP integration dropped.
     """
     B = rays_o.shape[0]
     k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
@@ -222,15 +229,22 @@ def render_rays_planar(
         eval_coarse = jax.checkpoint(eval_coarse, policy=policy)
         eval_fine = jax.checkpoint(eval_fine, policy=policy)
 
-    # stratified z (same math as stratified_sample, z-only)
-    near = t_near.reshape(-1, 1)
-    far = t_far.reshape(-1, 1)
-    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
-    z = near * (1.0 - t) + far * t
-    mids = 0.5 * (z[..., 1:] + z[..., :-1])
-    upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
-    lower = jnp.concatenate([z[..., :1], mids], axis=-1)
-    z = lower + (upper - lower) * jax.random.uniform(k_strat, z.shape, z.dtype)
+    if occ_spec is not None and occ_grid is not None:
+        from nerfjax.ops.occupancy import occupancy_sample
+
+        z = occupancy_sample(
+            occ_spec, occ_grid, k_strat, rays_o, rays_d, t_near, t_far, n_samples
+        )
+    else:
+        # stratified z (same math as stratified_sample, z-only)
+        near = t_near.reshape(-1, 1)
+        far = t_far.reshape(-1, 1)
+        t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+        z = near * (1.0 - t) + far * t
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+        lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+        z = lower + (upper - lower) * jax.random.uniform(k_strat, z.shape, z.dtype)
 
     rgb_c, sigma_c = eval_coarse(params_coarse, z, k_noise_c)
     rgb_map_c, weights = raw2outputs_planar(rgb_c, sigma_c, z, white_bg, dist_last)

@@ -101,6 +101,12 @@ class TrainSettings:
     weight_decay: float = 1e-6
     total_steps: int = 1000
     onecycle: bool = True
+    # Occupancy-grid empty-space skipping (nerfjax.ops.occupancy). New
+    # capability vs the reference (its NGP integration dropped instant-ngp's
+    # occupancy bitfield); disable with cfg occupancy_grid: false.
+    use_occupancy: bool = True
+    occ_resolution: int = 128
+    occ_update_every: int = 16
 
     @classmethod
     def from_cfg(cls, cfg: ConfigNode, total_steps: int) -> "TrainSettings":
@@ -115,6 +121,16 @@ class TrainSettings:
             weight_decay=float(cfg.get("weight_decay", 1e-6)),
             total_steps=total_steps,
             onecycle=bool(cfg.get("onecycle", True)),
+            use_occupancy=bool(cfg.get("occupancy_grid", True)),
+            occ_resolution=int(cfg.get("occ_resolution", 128)),
+            occ_update_every=int(cfg.get("occ_update_every", 16)),
+        )
+
+    def occ_spec(self):
+        from nerfjax.ops.occupancy import OccupancyGridSpec
+
+        return OccupancyGridSpec(
+            resolution=self.occ_resolution, update_every=self.occ_update_every
         )
 
 
@@ -154,6 +170,7 @@ def loss_fn(
     field_coarse,
     field_fine,
     settings: TrainSettings,
+    occ_grid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """MSE(coarse) + MSE(fine) over a ray batch (reference train.py:182-184)."""
     pc, pf = _split_params(params)
@@ -175,6 +192,8 @@ def loss_fn(
         train=True,
         dist_last=settings.dist_last,
         dtype=dtype,
+        occ_spec=settings.occ_spec() if settings.use_occupancy else None,
+        occ_grid=occ_grid if settings.use_occupancy else None,
     )
     target = batch["rgb"]
     loss_c = jnp.mean((out["rgb_coarse"].astype(jnp.float32) - target) ** 2)
@@ -199,10 +218,26 @@ def make_train_step(
     """
     settings = cfg_or_settings
 
-    def step_fn(params, opt_state, step, key, batch):
+    def step_fn(params, opt_state, step, occ_grid, key, batch):
         skey = jax.random.fold_in(key, step)
+
+        if settings.use_occupancy:
+            from nerfjax.ops.occupancy import update_grid
+
+            spec = settings.occ_spec()
+            _, pf = _split_params(params)
+
+            def do_update(g):
+                return update_grid(
+                    spec, g, field_fine, pf, jax.random.fold_in(skey, 777)
+                )
+
+            occ_grid = jax.lax.cond(
+                step % spec.update_every == 0, do_update, lambda g: g, occ_grid
+            )
+
         (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, skey, field_coarse, field_fine, settings
+            params, batch, skey, field_coarse, field_fine, settings, occ_grid
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -212,16 +247,25 @@ def make_train_step(
             "loss_fine": aux["loss_fine"],
             "psnr": aux["psnr"],
         }
-        return params, opt_state, step + 1, metrics
+        return params, opt_state, step + 1, occ_grid, metrics
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, repl, bsh),
-        out_shardings=(repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
+        in_shardings=(repl, repl, repl, repl, repl, bsh),
+        out_shardings=(repl, repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2, 3),
     )
+
+
+def init_occupancy(settings: TrainSettings) -> jnp.ndarray:
+    """Occupancy grid carried in the train state (dummy scalar when off)."""
+    if not settings.use_occupancy:
+        return jnp.zeros((1,), jnp.float32)
+    from nerfjax.ops.occupancy import init_grid
+
+    return init_grid(settings.occ_spec())
 
 
 # ---------------------------------------------------------------------------
@@ -293,10 +337,13 @@ def train(
     print(f"Starting training for {num_epochs} epochs")
     print(f"Total steps: {total_steps}")
 
+    occ_grid = init_occupancy(settings)
+
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
     step = replicate(step, mesh)
     k_train = replicate(k_train, mesh)
+    occ_grid = replicate(occ_grid, mesh)
 
     train_step = make_train_step(settings, field_coarse, field_fine, tx, mesh)
 
@@ -311,8 +358,8 @@ def train(
         for epoch in range(start_epoch, num_epochs + 1):
             batches = dataset.epoch_batches(batch_size, seed=seed * 100003 + epoch)
             for idx, batch in enumerate(prefetch_to_device(batches, mesh)):
-                params, opt_state, step, metrics = train_step(
-                    params, opt_state, step, k_train, batch
+                params, opt_state, step, occ_grid, metrics = train_step(
+                    params, opt_state, step, occ_grid, k_train, batch
                 )
                 rays_done += batch_size
 

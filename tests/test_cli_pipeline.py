@@ -48,6 +48,8 @@ def scene(tmp_path, monkeypatch):
         "use_memmap": False,
         "aabb_slice": True,
         "precision": "fp32",
+        "occ_resolution": 16,
+        "occ_update_every": 4,
     }
     cfg_path = tmp_path / "cfg.yml"
     save_config(cfg, cfg_path)

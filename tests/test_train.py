@@ -36,6 +36,7 @@ def _tiny_cfg(tmp_path, **over):
         "N_importance": 16,
         "white_bg": False,
         "precision": "fp32",
+        "occupancy_grid": False,
     }
     base.update(over)
     return with_defaults(ConfigNode(base))
@@ -88,13 +89,16 @@ def test_train_step_decreases_loss_vanilla(tmp_path):
     step = replicate(jnp.zeros((), jnp.int32), mesh)
     key = replicate(jax.random.PRNGKey(1), mesh)
 
+    from nerfjax.train import init_occupancy
+
+    grid = replicate(init_occupancy(settings), mesh)
     step_fn = make_train_step(settings, fc, ff, tx, mesh)
 
     losses = []
     for epoch in range(16):
         for batch in prefetch_to_device(ds.epoch_batches(256, seed=epoch), mesh):
-            params, opt_state, step, metrics = step_fn(
-                params, opt_state, step, key, batch
+            params, opt_state, step, grid, metrics = step_fn(
+                params, opt_state, step, grid, key, batch
             )
             losses.append(float(metrics["loss_total"]))
 
@@ -125,12 +129,14 @@ def test_train_step_ngp_bf16(tmp_path):
     params = replicate(params, mesh)
     step = replicate(jnp.zeros((), jnp.int32), mesh)
     key = replicate(jax.random.PRNGKey(1), mesh)
+    from nerfjax.train import init_occupancy
+    grid = replicate(init_occupancy(settings), mesh)
     step_fn = make_train_step(settings, fc, ff, tx, mesh)
 
     losses = []
     for epoch in range(8):
         for batch in prefetch_to_device(ds.epoch_batches(256, seed=epoch), mesh):
-            params, opt_state, step, m = step_fn(params, opt_state, step, key, batch)
+            params, opt_state, step, grid, m = step_fn(params, opt_state, step, grid, key, batch)
             losses.append(float(m["loss_total"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
