@@ -14,6 +14,8 @@ def main() -> None:
                    help="accepted for reference-CLI parity; the jitted slab "
                         "query supersedes host-side batching")
     p.add_argument("--view-direction", nargs=3, type=float, default=[0.0, 0.0, -1.0])
+    p.add_argument("--exact", action="store_true",
+                   help="exhaustive grid sweep instead of hierarchical refine")
     args = p.parse_args()
     if args.resolution is not None and args.resolution <= 0:
         raise ValueError("Resolution must be positive")
@@ -26,6 +28,7 @@ def main() -> None:
         resolution=args.resolution,
         bounds=tuple(args.bounds),
         view_direction=tuple(args.view_direction),
+        hierarchical=False if args.exact else None,
     )
     save_volume(vol, cfg.volume_output_path)
     print("EXTRACTION COMPLETED SUCCESSFULLY!")

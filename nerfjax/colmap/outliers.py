@@ -41,11 +41,21 @@ def knn_mean_distances(
 def remove_statistical_outliers(
     points: np.ndarray, nb_neighbors: int = 20, std_ratio: float = 2.0
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (filtered_points, keep_indices) — open3d-compatible semantics."""
+    """Returns (filtered_points, keep_indices) — open3d-compatible semantics.
+
+    Uses the OpenMP C++ kernel (nerfjax.native) when available, exact numpy
+    brute force otherwise."""
     points = np.asarray(points)
     if len(points) <= nb_neighbors:
         return points, np.arange(len(points))
-    mean_d = knn_mean_distances(points, nb_neighbors)
+    try:
+        from nerfjax.native import knn_mean_distances_native
+
+        mean_d = knn_mean_distances_native(points, nb_neighbors)
+    except Exception:
+        mean_d = None
+    if mean_d is None:
+        mean_d = knn_mean_distances(points, nb_neighbors)
     mu = mean_d.mean()
     sigma = mean_d.std()
     keep = np.where(mean_d <= mu + std_ratio * sigma)[0]

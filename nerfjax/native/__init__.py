@@ -1,0 +1,114 @@
+"""Native C++ host kernels, built on demand and loaded via ctypes.
+
+Provides OpenMP-parallel exact kNN mean distances (the Open3D-C++ role in
+the reference) and a voxelizer. Callers fall back to numpy when the
+toolchain is unavailable; `load()` returns None in that case.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "knn.cpp"
+_LIB = _HERE / "libnerfjax_native.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB),
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if res.returncode != 0:
+            print(f"[nerfjax.native] build failed: {res.stderr[:500]}")
+            return False
+        return True
+    except Exception as e:  # g++ missing etc.
+        print(f"[nerfjax.native] build unavailable: {e}")
+        return False
+
+
+def load():
+    """Return the ctypes library handle, building it if necessary; None if
+    the native path is unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _tried:
+            return None
+        _tried = True
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError as e:
+            print(f"[nerfjax.native] load failed: {e}")
+            return None
+        lib.knn_mean_distances.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.voxelize_points.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_uint8,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _lib = lib
+        return _lib
+
+
+def knn_mean_distances_native(points, k: int):
+    """numpy [n,3] f32 -> [n] mean kNN distance, or None if unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty(len(pts), np.float32)
+    lib.knn_mean_distances(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(pts)),
+        ctypes.c_int(int(k)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def voxelize_native(points, rgbs, grid_size: int, fill: int = 255):
+    """numpy points/rgbs -> (binary [g,g,g] u8, rgb [g,g,g,3] u8), or None."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float32)
+    cols = np.ascontiguousarray(rgbs, np.float32)
+    binary = np.zeros((grid_size,) * 3, np.uint8)
+    rgb = np.zeros((grid_size,) * 3 + (3,), np.uint8)
+    lib.voxelize_points(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(len(pts)),
+        ctypes.c_int(int(grid_size)),
+        ctypes.c_uint8(fill),
+        binary.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return binary, rgb

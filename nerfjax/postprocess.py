@@ -94,8 +94,17 @@ def voxelize_points(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Points in [-1,1] -> (binary uint8 [G,G,G], rgb uint8 [G,G,G,3]).
 
-    Parity: reference scripts/write_format.py:19-38.
+    Parity: reference scripts/write_format.py:19-38. Uses the C++ kernel
+    (nerfjax.native) when available.
     """
+    try:
+        from nerfjax.native import voxelize_native
+
+        out = voxelize_native(points, rgbs, grid_size, fill_value)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     binary = np.zeros((grid_size,) * 3, np.uint8)
     rgb_vol = np.zeros((grid_size,) * 3 + (3,), np.uint8)
     idx = ((np.asarray(points) + 1.0) * 0.5 * (grid_size - 1)).astype(int)
