@@ -31,6 +31,13 @@ from nerfjax.parallel import make_mesh, replicate
 from nerfjax.train import build_fields
 
 
+def _field_eval(field, params, pos3, view3, dtype):
+    """Inference field eval: fused Pallas MLP head on TPU, XLA path elsewhere."""
+    if hasattr(field, "apply_planar_fused") and jax.default_backend() == "tpu":
+        return field.apply_planar_fused(params, pos3, view3, dtype=dtype)
+    return field.apply_planar(params, pos3, view3, dtype=dtype)
+
+
 def _slab_query(field, params, zs: jnp.ndarray, res: int, bounds, view, dtype):
     """Evaluate density+rgb for all voxels of |zs| z-slabs: returns
     (sigma [nz, R, R], rgb [nz, R, R, 3] in [0,1])."""
@@ -47,7 +54,7 @@ def _slab_query(field, params, zs: jnp.ndarray, res: int, bounds, view, dtype):
     vx = jnp.full_like(px, view[0])
     vy = jnp.full_like(px, view[1])
     vz = jnp.full_like(px, view[2])
-    rgb, sigma = field.apply_planar(params, (px, py, pz), (vx, vy, vz), dtype=dtype)
+    rgb, sigma = _field_eval(field, params, (px, py, pz), (vx, vy, vz), dtype)
     return (
         sigma.astype(jnp.float32).reshape(nz, res, res),
         rgb.astype(jnp.float32).reshape(3, nz, res, res),
@@ -270,7 +277,7 @@ def _extract_hierarchical(
         vx = jnp.full_like(px, view[0])
         vy = jnp.full_like(px, view[1])
         vz = jnp.full_like(px, view[2])
-        rgb, sigma = field.apply_planar(params, (px, py, pz), (vx, vy, vz), dtype=dtype)
+        rgb, sigma = _field_eval(field, params, (px, py, pz), (vx, vy, vz), dtype)
         return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
 
     fine_jit = jax.jit(

@@ -302,6 +302,25 @@ class InstantNGP:
         )
         return feat[0], feat
 
+    def apply_planar_fused(
+        self, params: Params, pos3, view3, *, dtype=jnp.bfloat16,
+        interpret: bool = False, **_: Any
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Forward with the fused Pallas MLP head (inference path): the hash
+        encode runs in XLA (gathers), both MLPs + SH concat run fused in one
+        Pallas kernel with VMEM-resident weights/activations."""
+        from nerfjax.fields.encodings import sh4_encode_planar
+        from nerfjax.ops.hash_encode import hash_encode_planar
+        from nerfjax.ops.pallas_mlp import fused_ngp_head
+
+        x = jnp.clip((pos3[0] + 1.0) * 0.5, 0.0, 1.0)
+        y = jnp.clip((pos3[1] + 1.0) * 0.5, 0.0, 1.0)
+        z = jnp.clip((pos3[2] + 1.0) * 0.5, 0.0, 1.0)
+        enc = hash_encode_planar(self.spec, params["table"], x, y, z, dtype=dtype)
+        sh = sh4_encode_planar(view3[0], view3[1], view3[2]).astype(dtype)
+        rgb, sigma = fused_ngp_head(params, enc, sh, interpret=interpret)
+        return rgb, sigma
+
     def apply_planar(
         self, params: Params, pos3, view3, *, dtype=jnp.bfloat16, **_: Any
     ) -> tuple[jnp.ndarray, jnp.ndarray]:

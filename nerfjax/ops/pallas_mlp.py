@@ -1,0 +1,90 @@
+"""Pallas TPU kernel: fused Instant-NGP MLP head.
+
+Replaces tiny-cuda-nn's FullyFusedMLP pair (reference: scripts/instantngp.py
+:41-64) for field evaluation: density MLP (32->64->16, ReLU out), concat
+with the SH-4 direction encoding, color MLP (32->64->64->3, sigmoid out) —
+all five matmuls fused over one point tile, with every weight matrix and
+intermediate activation resident in VMEM. The unfused XLA path materializes
+each [64, N] activation in HBM between matmuls; here a [C, TILE] tile flows
+HBM -> VMEM once and only rgb/sigma leave.
+
+Feature-major layout ([C, N]); used on the inference paths (volume
+extraction, eval rendering). Training gradients go through the XLA path
+(identical math, see fields.ngp.apply_planar).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024  # lanes per program; multiple of 128
+
+
+def _head_kernel(enc_ref, sh_ref, w1_ref, w2_ref, w3_ref, w4_ref, w5_ref, out_ref):
+    """One tile: enc [32,T], sh [16,T] -> out [4,T] (rgb rows 0..2, sigma 3)."""
+    enc = enc_ref[:]
+    f = jnp.float32
+    h = jnp.maximum(jnp.dot(w1_ref[:], enc, preferred_element_type=f), 0.0)
+    feat = jnp.maximum(jnp.dot(w2_ref[:], h, preferred_element_type=f), 0.0)  # [16,T]
+    x2 = jnp.concatenate([feat, sh_ref[:]], axis=0)  # [32,T]
+    h2 = jnp.maximum(jnp.dot(w3_ref[:], x2, preferred_element_type=f), 0.0)
+    h3 = jnp.maximum(jnp.dot(w4_ref[:], h2, preferred_element_type=f), 0.0)
+    rgb = jax.nn.sigmoid(jnp.dot(w5_ref[:], h3, preferred_element_type=f))  # [3,T]
+    out_ref[:] = jnp.concatenate([rgb, feat[0:1, :]], axis=0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ngp_head(
+    params: dict,
+    enc: jnp.ndarray,
+    sh: jnp.ndarray,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(rgb [3,N], sigma [N]) from enc [32,N] and sh [16,N].
+
+    params: the InstantNGP param dict (dmlp/cmlp weight lists, [in,out]).
+    """
+    n = enc.shape[1]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        enc = jnp.pad(enc, ((0, 0), (0, n_pad - n)))
+        sh = jnp.pad(sh, ((0, 0), (0, n_pad - n)))
+
+    dt = enc.dtype
+    w1 = params["dmlp"][0]["w"].T.astype(dt)  # [64, 32]
+    w2 = params["dmlp"][1]["w"].T.astype(dt)  # [16, 64]
+    w3 = params["cmlp"][0]["w"].T.astype(dt)  # [64, 32]
+    w4 = params["cmlp"][1]["w"].T.astype(dt)  # [64, 64]
+    w5 = params["cmlp"][2]["w"].T.astype(dt)  # [3, 64]
+
+    grid = (n_pad // TILE,)
+    data_spec = lambda c: pl.BlockSpec(
+        (c, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _head_kernel,
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), dt),
+        grid=grid,
+        in_specs=[
+            data_spec(32),
+            data_spec(16),
+            w_spec,
+            w_spec,
+            w_spec,
+            w_spec,
+            w_spec,
+        ],
+        out_specs=data_spec(4),
+        interpret=interpret,
+    )(enc, sh, w1, w2, w3, w4, w5)
+
+    rgb = out[0:3, :n]
+    sigma = out[3, :n]
+    return rgb, sigma
