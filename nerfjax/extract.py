@@ -113,37 +113,60 @@ def extract_volume(
     n_steps = -(-res // step_slices)
     padded = n_steps * step_slices
 
-    # grid DP: x-slab indices sharded across the mesh, params replicated,
-    # outputs sharded along the slab dim (SURVEY.md §2 "volume extraction DP")
+    # grid DP: x-slab indices sharded across the mesh, params replicated.
+    # Results ACCUMULATE ON DEVICE into donated volume buffers — the host
+    # loop only dispatches (async); a single fetch at the end pulls the
+    # finished uint8 volumes. (Per-slab host fetches dominated wall time
+    # through slow host links — see docs/PERF.md.)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     shard0 = NamedSharding(mesh, P("data"))
-    shard_rgb = NamedSharding(mesh, P(None, "data"))
+
+    def slab_accum(params, sigma_vol, rgb_vol, zs):
+        sig, rgb = _slab_query(field_fine, params, zs, res, bounds, view, dtype)
+        rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+        rgb_u8 = jnp.moveaxis(rgb_u8, 0, -1)  # [nz, R, R, 3]
+        start = zs[0]
+        sigma_vol = jax.lax.dynamic_update_slice(sigma_vol, sig, (start, 0, 0))
+        rgb_vol = jax.lax.dynamic_update_slice(rgb_vol, rgb_u8, (start, 0, 0, 0))
+        return sigma_vol, rgb_vol
+
     query = jax.jit(
-        partial(_slab_query, field_fine, res=res, bounds=bounds, view=view, dtype=dtype),
-        in_shardings=(repl, shard0),
-        out_shardings=(shard0, shard_rgb),
+        slab_accum,
+        in_shardings=(repl, repl, repl, shard0),
+        out_shardings=(repl, repl),
+        donate_argnums=(1, 2),
     )
 
     t0 = time.time()
-    sigma_out = np.empty((res, res, res), np.float32)
-    rgb_out = np.empty((res, res, res, 3), np.uint8)
+    # volumes padded along x to a whole number of sharded slab steps; padding
+    # rows (queried with clamped coords) are sliced off before thresholding
+    sigma_vol = jnp.zeros((padded, res, res), jnp.float32)
+    rgb_vol = jnp.zeros((padded, res, res, 3), jnp.uint8)
     for s in range(n_steps):
-        zs = np.arange(s * step_slices, (s + 1) * step_slices)
-        zs = np.minimum(zs, res - 1).astype(np.int32)
-        sig, rgb = query(fine_params, jnp.asarray(zs))
-        sig = np.asarray(sig)
-        rgb = np.asarray(jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8))
-        keep = min(res - s * step_slices, step_slices)
-        sigma_out[s * step_slices : s * step_slices + keep] = sig[:keep]
-        rgb_out[s * step_slices : s * step_slices + keep] = np.moveaxis(
-            rgb[:, :keep], 0, -1
-        )
+        zs = np.minimum(
+            np.arange(s * step_slices, (s + 1) * step_slices), res - 1
+        ).astype(np.int32)
+        sigma_vol, rgb_vol = query(fine_params, sigma_vol, rgb_vol, jnp.asarray(zs))
+
+    sigma_vol = sigma_vol[:res]
+    rgb_vol = rgb_vol[:res]
+    threshold_dev = otsu_threshold(sigma_vol.reshape(res, -1))
+    occupancy_dev = (sigma_vol > threshold_dev).astype(jnp.uint8)
+    stats_dev = (
+        jnp.min(sigma_vol), jnp.max(sigma_vol), jnp.mean(sigma_vol), jnp.std(sigma_vol)
+    )
+    jax.block_until_ready(occupancy_dev)
+    threshold = float(threshold_dev)  # forces completion of all device work
     query_time = time.time() - t0
 
-    threshold = float(otsu_threshold(jnp.asarray(sigma_out.reshape(res, -1))))
-    occupancy = (sigma_out > threshold).astype(np.uint8)
+    t1 = time.time()
+    occupancy = np.asarray(jax.device_get(occupancy_dev))
+    rgb_out = np.asarray(jax.device_get(rgb_vol))
+    smin, smax, smean, sstd = (float(v) for v in jax.device_get(stats_dev))
+    transfer_time = time.time() - t1
+
     occupied = int(occupancy.sum())
     total = res**3
     if verbose:
@@ -151,14 +174,12 @@ def extract_volume(
         print(
             f"Occupied voxels: {occupied / total:.1%} ({occupied:,}/{total:,})"
         )
-        print(f"Query time: {query_time:.1f}s for {total:,} voxels")
+        print(
+            f"Query time: {query_time:.1f}s for {total:,} voxels "
+            f"(+{transfer_time:.1f}s host transfer)"
+        )
 
-    stats = {
-        "min": float(sigma_out.min()),
-        "max": float(sigma_out.max()),
-        "mean": float(sigma_out.mean()),
-        "std": float(sigma_out.std()),
-    }
+    stats = {"min": smin, "max": smax, "mean": smean, "std": sstd}
     return {
         "occupancy_volume": occupancy,
         "rgb_volume": rgb_out,
@@ -174,6 +195,7 @@ def extract_volume(
             "density_stats": stats,
             "view_direction": list(view),
             "query_seconds": query_time,
+            "transfer_seconds": transfer_time,
         },
     }
 
@@ -212,32 +234,53 @@ def _extract_hierarchical(
 
     repl = NamedSharding(mesh, P())
     shard0 = NamedSharding(mesh, P("data"))
-    shard_rgb = NamedSharding(mesh, P(None, "data"))
 
     t0 = time.time()
-    # -- coarse pass ---------------------------------------------------------
+    # -- coarse pass (device-resident accumulation) ---------------------------
+    def coarse_accum(params, cs_vol, cr_vol, zs):
+        sig, rgb = _slab_query(field, params, zs, res2, bounds, view, dtype)
+        start = zs[0]
+        cs_vol = jax.lax.dynamic_update_slice(cs_vol, sig, (start, 0, 0))
+        cr_vol = jax.lax.dynamic_update_slice(
+            cr_vol, jnp.moveaxis(rgb, 0, -1), (start, 0, 0, 0)
+        )
+        return cs_vol, cr_vol
+
     coarse_query = jax.jit(
-        partial(_slab_query, field, res=res2, bounds=bounds, view=view, dtype=dtype),
-        in_shardings=(repl, shard0),
-        out_shardings=(shard0, shard_rgb),
+        coarse_accum,
+        in_shardings=(repl, repl, repl, shard0),
+        out_shardings=(repl, repl),
+        donate_argnums=(1, 2),
     )
     step_slices = max(n_dev * 8, n_dev)
-    sig2 = np.empty((res2, res2, res2), np.float32)
-    rgb2 = np.empty((res2, res2, res2, 3), np.float32)
-    for s in range(-(-res2 // step_slices)):
+    n_csteps = -(-res2 // step_slices)
+    padded2 = n_csteps * step_slices
+    sig2 = jnp.zeros((padded2, res2, res2), jnp.float32)
+    rgb2 = jnp.zeros((padded2, res2, res2, 3), jnp.float32)
+    for s in range(n_csteps):
         zs = np.minimum(
             np.arange(s * step_slices, (s + 1) * step_slices), res2 - 1
         ).astype(np.int32)
-        sg, rg = coarse_query(fine_params, jnp.asarray(zs))
-        keep = min(res2 - s * step_slices, step_slices)
-        sig2[s * step_slices : s * step_slices + keep] = np.asarray(sg)[:keep]
-        rgb2[s * step_slices : s * step_slices + keep] = np.moveaxis(
-            np.asarray(rg)[:, :keep], 0, -1
-        )
+        sig2, rgb2 = coarse_query(fine_params, sig2, rgb2, jnp.asarray(zs))
+    sig2 = sig2[:res2]
+    rgb2 = rgb2[:res2]
 
-    # per-cell max over the 2^3 subsamples
-    cell_sigma = sig2.reshape(C, 2, C, 2, C, 2).max(axis=(1, 3, 5))
-    cell_rgb = rgb2[::2, ::2, ::2]  # one subsample as the fill color
+    # per-cell max over the 2^3 subsamples; broadcast defaults to full res —
+    # all on device; only the [C^3] cell maxima come to host (for argwhere).
+    @jax.jit
+    def coarse_reduce(sig2, rgb2):
+        cell_sigma = sig2.reshape(C, 2, C, 2, C, 2).max(axis=(1, 3, 5))
+        cell_rgb = rgb2[::2, ::2, ::2]
+        def rep(a):
+            return jnp.repeat(jnp.repeat(jnp.repeat(a, B, 0), B, 1), B, 2)
+        sigma_vol = rep(cell_sigma)
+        rgb_vol = jnp.clip(jnp.round(rep(cell_rgb) * 255.0), 0, 255).astype(jnp.uint8)
+        return cell_sigma, sigma_vol, rgb_vol
+
+    cell_sigma_dev, sigma_vol, rgb_vol = coarse_reduce(sig2, rgb2)
+    sigma_vol = sigma_vol.reshape(res**3)
+    rgb_vol = rgb_vol.reshape(res**3, 3)
+    cell_sigma = np.asarray(jax.device_get(cell_sigma_dev))
 
     coarse_thresh = float(otsu_threshold(jnp.asarray(cell_sigma.reshape(C, -1))))
     margin = 0.25 * coarse_thresh
@@ -249,41 +292,42 @@ def _extract_hierarchical(
             f"({n_marked / C**3:.1%}), coarse otsu {coarse_thresh:.4f}"
         )
 
-    # -- assemble defaults from the coarse pass -------------------------------
-    sigma_out = np.repeat(
-        np.repeat(np.repeat(cell_sigma, B, axis=0), B, axis=1), B, axis=2
-    ).astype(np.float32)
-    rgb_out_f = np.repeat(
-        np.repeat(np.repeat(cell_rgb, B, axis=0), B, axis=1), B, axis=2
-    )
-
-    # -- fine pass over marked cells ------------------------------------------
+    # -- fine pass over marked cells (device-side scatter) --------------------
     cells = np.argwhere(marked).astype(np.int32)  # [M, 3]
-    CH = max(2048 // n_dev * n_dev, n_dev)  # cells per chunk
+    CH = max(8192 // n_dev * n_dev, n_dev)  # cells per chunk
     step = (hi - lo) / (res - 1)
 
     off = np.stack(
         np.meshgrid(np.arange(B), np.arange(B), np.arange(B), indexing="ij"), -1
     ).reshape(-1, 3)  # [64, 3]
 
-    def fine_query(params, cx, cy, cz):
-        # [CH] cell coords -> [CH*64] voxel positions, feature-major
-        def pos(cb, o):
-            return lo + (cb[:, None] * B + o[None, :]).astype(jnp.float32) * step
+    def fine_accum(params, sigma_vol, rgb_vol, cx, cy, cz):
+        def vox(cb, o):
+            return jnp.clip(cb[:, None] * B + o[None, :], 0, res - 1)
 
-        px = pos(cx, jnp.asarray(off[:, 0])).reshape(-1)
-        py = pos(cy, jnp.asarray(off[:, 1])).reshape(-1)
-        pz = pos(cz, jnp.asarray(off[:, 2])).reshape(-1)
+        xi = vox(cx, jnp.asarray(off[:, 0]))
+        yi = vox(cy, jnp.asarray(off[:, 1]))
+        zi = vox(cz, jnp.asarray(off[:, 2]))
+        px = (lo + xi.astype(jnp.float32) * step).reshape(-1)
+        py = (lo + yi.astype(jnp.float32) * step).reshape(-1)
+        pz = (lo + zi.astype(jnp.float32) * step).reshape(-1)
         vx = jnp.full_like(px, view[0])
         vy = jnp.full_like(px, view[1])
         vz = jnp.full_like(px, view[2])
         rgb, sigma = _field_eval(field, params, (px, py, pz), (vx, vy, vz), dtype)
-        return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
+        flat = ((xi * res + yi) * res + zi).reshape(-1)
+        sigma_vol = sigma_vol.at[flat].set(sigma.astype(jnp.float32), mode="drop")
+        rgb_u8 = jnp.clip(jnp.round(rgb.astype(jnp.float32) * 255.0), 0, 255).astype(
+            jnp.uint8
+        )
+        rgb_vol = rgb_vol.at[flat].set(rgb_u8.T, mode="drop")
+        return sigma_vol, rgb_vol
 
     fine_jit = jax.jit(
-        fine_query,
-        in_shardings=(repl, shard0, shard0, shard0),
-        out_shardings=(shard0, shard_rgb),
+        fine_accum,
+        in_shardings=(repl, repl, repl, shard0, shard0, shard0),
+        out_shardings=(repl, repl),
+        donate_argnums=(1, 2),
     )
 
     for start in range(0, len(cells), CH):
@@ -291,37 +335,40 @@ def _extract_hierarchical(
         n = len(chunk)
         if n < CH:  # pad by repeating the first cell (rewrites same voxels)
             chunk = np.concatenate([chunk, np.repeat(chunk[:1], CH - n, axis=0)])
-        sig, rgb = fine_jit(
+        sigma_vol, rgb_vol = fine_jit(
             fine_params,
+            sigma_vol,
+            rgb_vol,
             jnp.asarray(chunk[:, 0]),
             jnp.asarray(chunk[:, 1]),
             jnp.asarray(chunk[:, 2]),
         )
-        sig = np.asarray(sig).reshape(CH, -1)[:n]
-        rgb = np.asarray(rgb).reshape(3, CH, -1)[:, :n]
-        xi = chunk[:n, 0:1] * B + off[None, :, 0]
-        yi = chunk[:n, 1:2] * B + off[None, :, 1]
-        zi = chunk[:n, 2:3] * B + off[None, :, 2]
-        sigma_out[xi, yi, zi] = sig
-        rgb_out_f[xi, yi, zi] = np.moveaxis(rgb, 0, -1).reshape(n, -1, 3)
+
+    threshold_dev = otsu_threshold(sigma_vol.reshape(res, -1))
+    occupancy_dev = (sigma_vol > threshold_dev).astype(jnp.uint8).reshape(res, res, res)
+    stats_dev = (
+        jnp.min(sigma_vol), jnp.max(sigma_vol), jnp.mean(sigma_vol), jnp.std(sigma_vol)
+    )
+    threshold = float(threshold_dev)  # sync point: device work done
     query_time = time.time() - t0
 
-    threshold = float(otsu_threshold(jnp.asarray(sigma_out.reshape(res, -1))))
-    occupancy = (sigma_out > threshold).astype(np.uint8)
+    t1 = time.time()
+    occupancy = np.asarray(jax.device_get(occupancy_dev))
+    rgb_out = np.asarray(jax.device_get(rgb_vol)).reshape(res, res, res, 3)
+    smin, smax, smean, sstd = (float(v) for v in jax.device_get(stats_dev))
+    transfer_time = time.time() - t1
+
     occupied = int(occupancy.sum())
     total = res**3
-    rgb_out = np.clip(np.round(rgb_out_f * 255.0), 0, 255).astype(np.uint8)
     if verbose:
         print(f"Otsu threshold: {threshold:.6f}")
         print(f"Occupied voxels: {occupied / total:.1%} ({occupied:,}/{total:,})")
-        print(f"Query time: {query_time:.1f}s ({n_marked * B**3 + res2**3:,} queries)")
+        print(
+            f"Query time: {query_time:.1f}s ({n_marked * B**3 + res2**3:,} queries, "
+            f"+{transfer_time:.1f}s host transfer)"
+        )
 
-    stats = {
-        "min": float(sigma_out.min()),
-        "max": float(sigma_out.max()),
-        "mean": float(sigma_out.mean()),
-        "std": float(sigma_out.std()),
-    }
+    stats = {"min": smin, "max": smax, "mean": smean, "std": sstd}
     return {
         "occupancy_volume": occupancy,
         "rgb_volume": rgb_out,
@@ -337,6 +384,7 @@ def _extract_hierarchical(
             "density_stats": stats,
             "view_direction": list(view),
             "query_seconds": query_time,
+            "transfer_seconds": transfer_time,
             "hierarchical": True,
             "marked_cells": n_marked,
         },
