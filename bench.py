@@ -32,6 +32,10 @@ BENCH_STEPS = 20
 
 def main() -> None:
     import jax
+
+    from nerfjax.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from nerfjax.config import ConfigNode, with_defaults

@@ -3,6 +3,9 @@ from __future__ import annotations
 import argparse
 
 from nerfjax.config import ConfigNode, load_config, with_defaults
+from nerfjax.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def cfg_parser(description: str) -> argparse.ArgumentParser:

@@ -302,8 +302,12 @@ def _extract_hierarchical(
     ).reshape(-1, 3)  # [64, 3]
 
     def fine_accum(params, sigma_vol, rgb_vol, cx, cy, cz):
+        # cell coords arrive as float32 and are floored/clipped in-graph:
+        # index arrays fed straight from host inputs can push XLA's
+        # gather/scatter emitters onto a ~100x slower path (docs/PERF.md).
         def vox(cb, o):
-            return jnp.clip(cb[:, None] * B + o[None, :], 0, res - 1)
+            ci = jnp.clip(jnp.floor(cb), 0, C - 1).astype(jnp.int32)
+            return jnp.clip(ci[:, None] * B + o[None, :], 0, res - 1)
 
         xi = vox(cx, jnp.asarray(off[:, 0]))
         yi = vox(cy, jnp.asarray(off[:, 1]))
@@ -339,9 +343,9 @@ def _extract_hierarchical(
             fine_params,
             sigma_vol,
             rgb_vol,
-            jnp.asarray(chunk[:, 0]),
-            jnp.asarray(chunk[:, 1]),
-            jnp.asarray(chunk[:, 2]),
+            jnp.asarray(chunk[:, 0].astype(np.float32)),
+            jnp.asarray(chunk[:, 1].astype(np.float32)),
+            jnp.asarray(chunk[:, 2].astype(np.float32)),
         )
 
     threshold_dev = otsu_threshold(sigma_vol.reshape(res, -1))

@@ -211,9 +211,19 @@ def render_rays_planar(
             for o, d in ((ox, dx), (oy, dy), (oz, dz))
         )
         view3 = tuple(jnp.broadcast_to(d[:, None], (B, S)).reshape(-1) for d in (dx, dy, dz))
-        rgb, sigma = field.apply_planar(
-            params, pos3, view3, rng=k, train=train, dtype=dtype
-        )
+        # Inference on TPU goes through the fused Pallas MLP head — the XLA
+        # path can hit a pathological emitter (~100x slower) depending on how
+        # positions were derived; see docs/PERF.md.
+        if (
+            not train
+            and hasattr(field, "apply_planar_fused")
+            and jax.default_backend() == "tpu"
+        ):
+            rgb, sigma = field.apply_planar_fused(params, pos3, view3, dtype=dtype)
+        else:
+            rgb, sigma = field.apply_planar(
+                params, pos3, view3, rng=k, train=train, dtype=dtype
+            )
         return rgb.reshape(3, B, S), sigma.reshape(B, S)
 
     def eval_coarse(params, z, k):
