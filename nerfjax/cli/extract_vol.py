@@ -16,12 +16,38 @@ def main() -> None:
     p.add_argument("--view-direction", nargs=3, type=float, default=[0.0, 0.0, -1.0])
     p.add_argument("--exact", action="store_true",
                    help="exhaustive grid sweep instead of hierarchical refine")
+    # legacy-extractor extras (reference: scripts/extract_occupancy_volume.py)
+    p.add_argument("--density-only", action="store_true",
+                   help="store only occupancy (zeroed RGB), like the legacy extractor's density mode")
+    p.add_argument("--format", choices=["pth", "npy"], default="pth",
+                   help="npy writes occupancy_volume.npy + metadata.json next to the .pth path")
+    p.add_argument("--suggest-bounds", action="store_true",
+                   help="print camera-pose-derived sampling bounds and exit")
     args = p.parse_args()
     if args.resolution is not None and args.resolution <= 0:
         raise ValueError("Resolution must be positive")
     if args.bounds[0] >= args.bounds[1]:
         raise ValueError("Invalid bounds: min must be less than max")
     cfg = load_cfg(args)
+
+    if args.suggest_bounds:
+        # camera-pose-based bounds suggestion (reference:
+        # extract_occupancy_volume.py:523-571): cover the camera hull + margin
+        import json
+
+        import numpy as np
+
+        with open(cfg.transforms_json) as f:
+            meta = json.load(f)
+        cams = np.array(
+            [np.array(fr["transform_matrix"])[:3, 3] for fr in meta["frames"]]
+        )
+        lo = float(np.floor(cams.min() * 10) / 10)
+        hi = float(np.ceil(cams.max() * 10) / 10)
+        m = max(abs(lo), abs(hi))
+        print(f"Camera position range: [{cams.min():.3f}, {cams.max():.3f}]")
+        print(f"Suggested bounds: --bounds {-m:.1f} {m:.1f}")
+        return
 
     vol = extract_volume(
         cfg,
@@ -30,7 +56,25 @@ def main() -> None:
         view_direction=tuple(args.view_direction),
         hierarchical=False if args.exact else None,
     )
-    save_volume(vol, cfg.volume_output_path)
+    if args.density_only:
+        vol["rgb_volume"] = vol["rgb_volume"] * 0
+        vol["metadata"]["density_only"] = True
+
+    if args.format == "npy":
+        import json
+        from pathlib import Path
+
+        import numpy as np
+
+        base = Path(cfg.volume_output_path).with_suffix("")
+        np.save(f"{base}_occupancy.npy", vol["occupancy_volume"])
+        if not args.density_only:
+            np.save(f"{base}_rgb.npy", vol["rgb_volume"])
+        with open(f"{base}_metadata.json", "w") as f:
+            json.dump(vol["metadata"], f, indent=2)
+        print(f"Saved npy volume to {base}_occupancy.npy")
+    else:
+        save_volume(vol, cfg.volume_output_path)
     print("EXTRACTION COMPLETED SUCCESSFULLY!")
 
 

@@ -60,3 +60,24 @@ def remove_statistical_outliers(
     sigma = mean_d.std()
     keep = np.where(mean_d <= mu + std_ratio * sigma)[0]
     return points[keep], keep
+
+
+def filter_radius_outliers(
+    points: np.ndarray, radius: float, min_neighbors: int = 5, chunk: int = 2048
+) -> tuple[np.ndarray, np.ndarray]:
+    """Radius outlier removal: keep points with >= min_neighbors within
+    `radius` (reference: normalize_with_aabb_improved.py:485 uses open3d's
+    remove_radius_outlier)."""
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    if n == 0:
+        return points, np.arange(0)
+    sq = np.sum(pts * pts, axis=1)
+    r2 = radius * radius
+    counts = np.empty(n, np.int64)
+    for start in range(0, n, chunk):
+        block = pts[start : start + chunk]
+        d2 = sq[start : start + chunk, None] + sq[None, :] - 2.0 * (block @ pts.T)
+        counts[start : start + chunk] = (d2 <= r2).sum(axis=1) - 1  # minus self
+    keep = np.where(counts >= min_neighbors)[0]
+    return points[keep], keep
