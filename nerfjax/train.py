@@ -351,6 +351,27 @@ def train(
     rays_done = 0
     metrics_host = {}
 
+    # Async checkpointing: snapshot params/opt_state with a cheap on-device
+    # copy (the originals are donated into the next step), then fetch+write
+    # on a worker thread so the slow host link never stalls training.
+    import threading
+
+    save_threads: list[threading.Thread] = []
+
+    def save_async(path: Path, epoch_num: int) -> None:
+        snap_p = jax.tree_util.tree_map(lambda x: x + 0, params)
+        snap_o = jax.tree_util.tree_map(
+            lambda x: x + 0 if hasattr(x, "dtype") else x, opt_state
+        )
+
+        def worker():
+            ckpt.save_train_state(path, cfg, snap_p, snap_o, epoch_num)
+            print(f"Saved checkpoint to {path}")
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        save_threads.append(t)
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
@@ -390,13 +411,13 @@ def train(
                     )
 
             if epoch % 2 == 0:
-                path = checkpoint_dir / f"nerf_epoch_{epoch:06d}.pth"
-                ckpt.save_train_state(path, cfg, params, opt_state, epoch)
-                print(f"Saved checkpoint to {path}")
+                save_async(checkpoint_dir / f"nerf_epoch_{epoch:06d}.pth", epoch)
     finally:
         if profile_dir:
             jax.profiler.stop_trace()
 
+    for t in save_threads:
+        t.join()
     final_path = checkpoint_dir / "nerf_final.pth"
     ckpt.save_train_state(final_path, cfg, params, opt_state, num_epochs)
     total_time = time.time() - start_time
