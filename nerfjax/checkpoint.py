@@ -16,10 +16,14 @@ State-dict name mapping:
     torch Linear weights are [out,in]; ours are [in,out] — transposed here.
   * NGP (reference scripts/instantngp.py:23-64): tcnn packs each module into
     a flat `params` blob. Documented nerfjax mapping: pos_encoding.params =
-    hash table [total,F] row-major flattened; dmlp.params / cmlp.params =
-    concatenated row-major [out,in] weight matrices in layer order (tcnn
-    layout), with tcnn's zero-padding of the 3-wide cmlp output to 16 rows
-    tolerated on read.
+    hash table [total,F] row-major flattened (entry-major = tcnn layout);
+    dmlp.params / cmlp.params = concatenated row-major [out,in] weight
+    matrices in layer order (tcnn layout), with tcnn's zero-padding of the
+    3-wide cmlp output to 16 rows tolerated on read, and fp16 blobs accepted.
+    tcnn's encoding output is LEVEL-MAJOR interleaved while the nerfjax
+    runtime is plane-major; the fan-in axis of the first dmlp layer is
+    permuted on export/import (_enc_col_perm) so both ecosystems compute the
+    same function from the same published blob.
 
 The reference has NO resume path (loaders only restore the fine model,
 scripts/extract_vol.py:40-54). nerfjax adds exact resume: the optax state is
@@ -107,6 +111,22 @@ def _mlp_dims(model: InstantNGP) -> dict[str, list[tuple[int, int]]]:
     }
 
 
+def _enc_col_perm(spec) -> np.ndarray:
+    """Column permutation between tcnn's level-major interleaved encoding
+    output (col = level*F + feature, tiny-cuda-nn hash grid layout) and the
+    nerfjax runtime's plane-major layout (col = feature*L + level).
+
+    Returns perm with perm[tcnn_col] = nerfjax_col. The inverse direction is
+    np.argsort(perm). Applied to the fan-in axis of the FIRST density-MLP
+    layer on state-dict export/import so cross-ecosystem NGP checkpoints
+    (reference/tcnn <-> nerfjax) compute the same function.
+    """
+    L, F = spec.n_levels, spec.n_features
+    lvl = np.repeat(np.arange(L), F)
+    feat = np.tile(np.arange(F), L)
+    return feat * L + lvl
+
+
 def ngp_to_state_dict(model: InstantNGP, params: dict) -> dict[str, np.ndarray]:
     sd: dict[str, np.ndarray] = {}
     # runtime layout is [F, total] feature planes; the published blob is
@@ -115,11 +135,15 @@ def ngp_to_state_dict(model: InstantNGP, params: dict) -> dict[str, np.ndarray]:
         np.asarray(params["table"], np.float32).T.reshape(-1).copy()
     )
     sd["dir_encoding.params"] = np.zeros((0,), np.float32)  # SH has no params
+    perm = _enc_col_perm(model.spec)
     for name in ("dmlp", "cmlp"):
-        blobs = [
-            np.asarray(layer["w"], np.float32).T.reshape(-1)  # [out,in] row-major
-            for layer in params[name]
-        ]
+        blobs = []
+        for li, layer in enumerate(params[name]):
+            w = np.asarray(layer["w"], np.float32).T  # [out, in]
+            if name == "dmlp" and li == 0:
+                # fan-in is the encoding: publish in tcnn's level-major order.
+                w = w[:, perm]
+            blobs.append(w.reshape(-1))
         sd[f"{name}.params"] = np.concatenate(blobs)
     return sd
 
@@ -134,6 +158,7 @@ def ngp_from_state_dict(model: InstantNGP, sd: dict[str, np.ndarray]) -> dict:
         .T.copy()
     )
     params: dict[str, Any] = {"table": jnp.asarray(table)}
+    inv_perm = np.argsort(_enc_col_perm(spec))
     for name, dims in _mlp_dims(model).items():
         blob = np.asarray(sd[f"{name}.params"], np.float32)
         layers = []
@@ -147,6 +172,10 @@ def ngp_from_state_dict(model: InstantNGP, sd: dict[str, np.ndarray]) -> dict:
                 padded_out = -(-fan_out // 16) * 16
                 need = padded_out * fan_in
             w = blob[off : off + need].reshape(padded_out, fan_in)[:fan_out]
+            if name == "dmlp" and li == 0:
+                # published fan-in order is tcnn level-major; runtime wants
+                # plane-major (see _enc_col_perm).
+                w = w[:, inv_perm]
             layers.append({"w": jnp.asarray(w.T.copy())})
             off += need
         params[name] = layers

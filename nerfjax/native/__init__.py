@@ -8,28 +8,41 @@ toolchain is unavailable; `load()` returns None in that case.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "knn.cpp"
-_LIB = _HERE / "libnerfjax_native.so"
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _lib_path() -> Path:
+    # Key the artifact on the source content hash: no prebuilt binary is
+    # shipped (a committed .so is unauditable and -march=native makes it
+    # machine-specific), and editing knn.cpp always triggers a rebuild.
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _HERE / f"libnerfjax_native.{digest}.so"
+
+
+def _build(lib_path: Path) -> bool:
+    tmp = lib_path.with_suffix(".so.tmp")
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", str(tmp),
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if res.returncode != 0:
             print(f"[nerfjax.native] build failed: {res.stderr[:500]}")
             return False
+        tmp.replace(lib_path)
+        for stale in _HERE.glob("libnerfjax_native*.so"):
+            if stale != lib_path:
+                stale.unlink(missing_ok=True)
         return True
     except Exception as e:  # g++ missing etc.
         print(f"[nerfjax.native] build unavailable: {e}")
@@ -46,11 +59,11 @@ def load():
         if _tried:
             return None
         _tried = True
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
-                return None
+        lib_path = _lib_path()
+        if not lib_path.exists() and not _build(lib_path):
+            return None
         try:
-            lib = ctypes.CDLL(str(_LIB))
+            lib = ctypes.CDLL(str(lib_path))
         except OSError as e:
             print(f"[nerfjax.native] load failed: {e}")
             return None

@@ -21,16 +21,17 @@ def volume_to_points(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Occupied voxels -> (points_normalized [N,3] in [-1,1], rgbs [N,3]).
 
-    Parity: reference scripts/post_process_vol.py:87-93 (RGB values keep the
-    loaded scale — uint8 volumes yield rgbs normalized by the max like the
-    reference's `rgb_volume / rgb_volume.max()`).
+    Parity: reference scripts/post_process_vol.py:78,87-93 — the reference
+    divides the WHOLE rgb_volume by its global max before gathering, so the
+    normalizer must be the global max, not the max over occupied voxels.
     """
     occ = np.asarray(occupancy)
     pts_idx = np.argwhere(occ)
-    rgbs = np.asarray(rgb_volume)[pts_idx[:, 0], pts_idx[:, 1], pts_idx[:, 2]]
-    rgbs = rgbs.astype(np.float32)
-    if rgbs.size and rgbs.max() > 0:
-        rgbs = rgbs / rgbs.max()
+    vol = np.asarray(rgb_volume)
+    global_max = float(vol.max()) if vol.size else 0.0
+    rgbs = vol[pts_idx[:, 0], pts_idx[:, 1], pts_idx[:, 2]].astype(np.float32)
+    if global_max > 0:
+        rgbs = rgbs / global_max
     res = occ.shape[0]
     points = (pts_idx.astype(np.float32) / (res - 1)) * 2.0 - 1.0
     return points, rgbs

@@ -305,12 +305,38 @@ class _Unpickler(pickle.Unpickler):
 
 
 def _rebuild_tensor(storage, offset, size, stride, *args):
+    # size/stride/offset come straight from the (untrusted) pickle stream;
+    # bound-check them before as_strided or a corrupt file could read
+    # arbitrary process memory into the returned array.
     arr = storage
+    numel = arr.shape[0]
+    offset = int(offset)
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if offset < 0:
+        raise pickle.UnpicklingError(f"pth reader: negative storage offset {offset}")
     if len(size) == 0:
+        if offset >= numel:
+            raise pickle.UnpicklingError(
+                f"pth reader: scalar offset {offset} >= storage numel {numel}"
+            )
         return arr[offset].copy().reshape(())
+    if len(stride) != len(size) or any(s < 0 for s in size) or any(
+        st < 0 for st in stride
+    ):
+        raise pickle.UnpicklingError(
+            f"pth reader: invalid tensor layout size={size} stride={stride}"
+        )
+    if 0 in size:
+        return np.empty(size, dtype=arr.dtype)
+    last = offset + sum((s - 1) * st for s, st in zip(size, stride))
+    if last >= numel:
+        raise pickle.UnpicklingError(
+            f"pth reader: tensor extent {last + 1} exceeds storage numel {numel}"
+        )
     itemsize = arr.dtype.itemsize
     return np.lib.stride_tricks.as_strided(
-        arr[offset:], shape=tuple(size), strides=tuple(s * itemsize for s in stride)
+        arr[offset:], shape=size, strides=tuple(s * itemsize for s in stride)
     ).copy()
 
 

@@ -20,6 +20,7 @@ so its gradients accumulate through both passes of the same params.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from pathlib import Path
@@ -365,7 +366,11 @@ def train(
         )
 
         def worker():
-            ckpt.save_train_state(path, cfg, snap_p, snap_o, epoch_num)
+            # Write to a temp name and rename: if the process dies mid-write
+            # the final path never holds a truncated checkpoint.
+            tmp = path.with_name(path.name + ".tmp")
+            ckpt.save_train_state(tmp, cfg, snap_p, snap_o, epoch_num)
+            os.replace(tmp, path)
             print(f"Saved checkpoint to {path}")
 
         t = threading.Thread(target=worker, daemon=True)
@@ -375,6 +380,7 @@ def train(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    sched = make_schedule(settings)
     try:
         for epoch in range(start_epoch, num_epochs + 1):
             batches = dataset.epoch_batches(batch_size, seed=seed * 100003 + epoch)
@@ -397,7 +403,6 @@ def train(
                         f"Time: {elapsed:.2f}s | {rays_per_s:,.0f} rays/s |"
                     )
                     gstep = epoch * steps_per_epoch + idx
-                    sched = make_schedule(settings)
                     logger.scalars(
                         gstep,
                         {
@@ -415,9 +420,11 @@ def train(
     finally:
         if profile_dir:
             jax.profiler.stop_trace()
+        # Join writers even on exception/interrupt so no checkpoint is left
+        # half-written where resume expects a valid one.
+        for t in save_threads:
+            t.join()
 
-    for t in save_threads:
-        t.join()
     final_path = checkpoint_dir / "nerf_final.pth"
     ckpt.save_train_state(final_path, cfg, params, opt_state, num_epochs)
     total_time = time.time() - start_time

@@ -131,3 +131,70 @@ def test_load_field_params_fine(tmp_path):
     r0, _ = model.apply(params["model"], pos, view)
     r1, _ = model.apply(restored["model"], pos, view)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+
+
+def test_ngp_loads_tcnn_packed_checkpoint():
+    """Hand-constructed state dict following tiny-cuda-nn's documented packing
+    (fp16 params; hash table entry-major [total, F]; MLP blobs row-major
+    [out, in] with the encoding fan-in LEVEL-MAJOR interleaved; final cmlp
+    output zero-padded to 16 rows). A numpy simulation of the tcnn-side
+    forward must match nerfjax's forward through ngp_from_state_dict.
+    Reference packing: scripts/instantngp.py:23-64."""
+    from nerfjax.fields.encodings import sh4_encode
+    from nerfjax.fields.ngp import hashgrid_indices_and_weights
+
+    model = InstantNGP("small", n_levels=4)
+    spec = model.spec
+    L, F = spec.n_levels, spec.n_features
+    enc_dim = spec.output_dim
+    total = spec.total_table_size
+    rng = np.random.default_rng(0)
+
+    # fp16 blobs exactly as tcnn publishes them.
+    table_f16 = rng.normal(scale=1e-2, size=(total, F)).astype(np.float16)
+    d1 = rng.normal(scale=0.3, size=(64, enc_dim)).astype(np.float16)
+    d2 = rng.normal(scale=0.3, size=(16, 64)).astype(np.float16)
+    c1 = rng.normal(scale=0.3, size=(64, 32)).astype(np.float16)
+    c2 = rng.normal(scale=0.3, size=(64, 64)).astype(np.float16)
+    c3 = np.zeros((16, 64), np.float16)  # padded 3 -> 16 rows
+    c3[:3] = rng.normal(scale=0.3, size=(3, 64)).astype(np.float16)
+    sd = {
+        "pos_encoding.params": table_f16.reshape(-1),
+        "dir_encoding.params": np.zeros((0,), np.float16),
+        "dmlp.params": np.concatenate([d1.reshape(-1), d2.reshape(-1)]),
+        "cmlp.params": np.concatenate(
+            [c1.reshape(-1), c2.reshape(-1), c3.reshape(-1)]
+        ),
+    }
+
+    pos = rng.uniform(-1, 1, size=(17, 3)).astype(np.float32)
+    view = rng.normal(size=(17, 3)).astype(np.float32)
+    view /= np.linalg.norm(view, axis=-1, keepdims=True)
+
+    # --- numpy simulation of the tcnn-side forward -------------------------
+    x01 = np.clip((pos + 1.0) * 0.5, 0.0, 1.0)
+    idx, w = hashgrid_indices_and_weights(spec, jnp.asarray(x01))
+    g = table_f16.astype(np.float32)[np.asarray(idx)]  # [N, L*8, F]
+    lvl = (g * np.asarray(w)[..., None]).reshape(len(pos), L, 8, F).sum(axis=2)
+    enc = lvl.reshape(len(pos), L * F)  # level-major interleave (tcnn)
+    relu = lambda a: np.maximum(a, 0.0)
+    feat = relu(relu(enc @ d1.astype(np.float32).T) @ d2.astype(np.float32).T)
+    sigma_ref = feat[:, :1]
+    sh = np.asarray(sh4_encode(jnp.asarray(view)), np.float32)
+    h = np.concatenate([feat, sh], axis=-1)
+    h = relu(h @ c1.astype(np.float32).T)
+    h = relu(h @ c2.astype(np.float32).T)
+    rgb_ref = 1.0 / (1.0 + np.exp(-(h @ c3.astype(np.float32).T[:, :3])))
+
+    # --- nerfjax load + forward --------------------------------------------
+    params = ckpt.ngp_from_state_dict(model, sd)
+    rgb, sigma = model.apply(params, jnp.asarray(pos), jnp.asarray(view))
+    np.testing.assert_allclose(np.asarray(sigma), sigma_ref, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref, rtol=2e-4, atol=2e-5)
+
+    # And the export direction round-trips through the tcnn packing exactly.
+    sd2 = ckpt.ngp_to_state_dict(model, params)
+    params2 = ckpt.ngp_from_state_dict(model, sd2)
+    rgb2, sigma2 = model.apply(params2, jnp.asarray(pos), jnp.asarray(view))
+    np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sigma2), np.asarray(sigma), atol=1e-6)

@@ -108,3 +108,27 @@ def test_extra_records_survive_and_torch_ignores(tmp_path):
     assert pth.load_extra_record(p, "blob.bin") == b"\x00\x01binary"
     assert pth.load_extra_record(p, "missing.bin") is None
     assert torch.load(p, weights_only=False)["a"] == 1
+
+
+def test_rebuild_tensor_bounds_checked():
+    """Corrupt size/stride/offset from the pickle stream must be rejected
+    before as_strided, not read out-of-bounds (ADVICE r1)."""
+    import pickle
+
+    storage = np.arange(8, dtype=np.float32)
+    for offset, size, stride in [
+        (0, (4, 4), (4, 1)),   # extent 16 > numel 8
+        (-1, (2,), (1,)),      # negative offset
+        (6, (4,), (1,)),       # offset pushes extent past the end
+        (0, (2,), (-1,)),      # negative stride
+        (8, (), ()),           # scalar past the end
+        (0, (2,), (1, 1)),     # rank mismatch
+    ]:
+        with pytest.raises(pickle.UnpicklingError):
+            pth._rebuild_tensor(storage, offset, size, stride)
+    # Legitimate strided views and zero-size tensors still load.
+    out = pth._rebuild_tensor(storage, 2, (2, 3), (3, 1))
+    np.testing.assert_array_equal(
+        out, np.array([[2, 3, 4], [5, 6, 7]], np.float32)
+    )
+    assert pth._rebuild_tensor(storage, 0, (0, 3), (3, 1)).shape == (0, 3)
