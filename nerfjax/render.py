@@ -21,11 +21,14 @@ def stratified_sample(
     near: jnp.ndarray,
     far: jnp.ndarray,
     n_samples: int,
+    u: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Jittered linear-in-depth samples along each ray.
 
     Args:
       rays_o, rays_d: [B,3]; near, far: [B] or [B,1].
+      u: optional externally-supplied uniforms [B,S] (parity tests share
+        these with the torch reference); default draws from `key`.
     Returns:
       pts [B,S,3], z_vals [B,S].
 
@@ -40,7 +43,8 @@ def stratified_sample(
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
     lower = jnp.concatenate([z[..., :1], mids], axis=-1)
-    u = jax.random.uniform(key, z.shape, z.dtype)
+    if u is None:
+        u = jax.random.uniform(key, z.shape, z.dtype)
     z = lower + (upper - lower) * u
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
@@ -52,11 +56,14 @@ def sample_pdf(
     bins: jnp.ndarray,
     weights: jnp.ndarray,
     n_samples: int,
+    u: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Inverse-transform sampling from a piecewise-constant PDF.
 
     Args:
       bins: [B, M] bin edges; weights: [B, M-1] non-negative.
+      u: optional externally-supplied uniforms [B, n_samples] (parity tests
+        share these with the torch reference); default draws from `key`.
     Returns:
       samples [B, n_samples] (NOT stop-gradiented; callers mirror the
       reference's `.detach()` explicitly).
@@ -68,7 +75,8 @@ def sample_pdf(
     cdf = jnp.cumsum(pdf, axis=-1)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [B, M]
 
-    u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), cdf.dtype)
+    if u is None:
+        u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), cdf.dtype)
 
     inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
