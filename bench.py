@@ -9,7 +9,7 @@ operating point measured to reach (slightly exceed) the PSNR of the
 reference's uniform 64+128 sampling at equal wall clock (docs/PERF.md,
 "Occupancy sampling" table: 36.68 dB in 830 s vs 36.22 dB in 1469 s on the
 synthetic scene). The reference's exact 64+192 uniform point runs at
-~1016 rays/s/chip on v5e-1 (docs/PERF.md step-timing table).
+~1,045 rays/s/chip on v5e-1 (docs/PERF.md step-timing table).
 
 Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
 is computed against REF_RAYS_PER_SEC = 400_000, a documented estimate of

@@ -14,7 +14,7 @@ from nerfjax.colmap import colmap_to_nerf, write_transforms_json
 
 def main() -> None:
     p = cfg_parser("Convert COLMAP model to NeRF transforms JSON")
-    p.add_argument("--mode", default="auto", choices=["auto", "euler"])
+    p.add_argument("--mode", default="auto", choices=["auto", "auto+z", "euler"])
     args = p.parse_args()
     cfg = load_cfg(args)
 

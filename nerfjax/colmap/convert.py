@@ -22,8 +22,11 @@ import numpy as np
 from nerfjax.colmap.model_io import read_cameras_txt, read_images_txt, read_points3d_txt
 from nerfjax.colmap.normalize import (
     compute_near_far_bounds,
+    compute_percentile_bbox,
+    robust_bbox_computation,
     scene_normalization,
 )
+from nerfjax.colmap.outliers import filter_radius_outliers
 from nerfjax.colmap.quaternion import (
     quat_to_matrix,
     rotation_between_vectors,
@@ -215,6 +218,69 @@ def compute_scene_aabb(
 
 
 # ---------------------------------------------------------------------------
+# Normalization routing
+# ---------------------------------------------------------------------------
+
+
+def resolve_normalization(points, cfg, verbose: bool = True):
+    """Route cfg.normalization_method to the matching normalizer.
+
+    * absent / "original": the canonical config-driven normalizer
+      (colmap2nerf_corrected.py:169-205).
+    * "adaptive" | "percentile" | "statistical" | "hybrid": the robust
+      4-strategy machinery with the reference's fallback behavior — if the
+      <=2.1 self-check fails, retry with adaptive(0.9, 0.15); if the whole
+      computation raises, fall back to a simple 1/99 percentile bbox
+      (normalize_with_aabb_improved.py:838-886).
+
+    An optional radius pre-filter runs first when cfg.radius_filter is set
+    (normalize_with_aabb_improved.py:485 exposes it; nb_points/radius keys
+    override the 16 / 0.05 defaults).
+
+    Returns (scale, center, info).
+    """
+    pts = points
+    if cfg.get("radius_filter", False):
+        pts, _ = filter_radius_outliers(
+            points,
+            radius=float(cfg.get("radius_radius", 0.05)),
+            min_neighbors=int(cfg.get("radius_nb_points", 16)),
+        )
+        if verbose:
+            print(f"Radius filter kept {len(pts)}/{len(points)} points")
+        if len(pts) == 0:
+            pts = points
+
+    method = cfg.get("normalization_method", None)
+    if method in (None, "original"):
+        scale, center = scene_normalization(pts, cfg)
+        return scale, center, {"method": "original"}
+
+    try:
+        center, scale, info = robust_bbox_computation(
+            pts,
+            method=method,
+            target_retention=float(cfg.get("target_retention", 0.95)),
+            padding=float(cfg.percentile_bbox.get("padding", 0.1)),
+            nb_neighbors=int(cfg.get("outlier_nb_neighbors", 20)),
+            std_ratio=float(cfg.get("outlier_std_ratio", 2.0)),
+        )
+        if not info["normalization_success"]:
+            print("Warning: Normalization validation failed, trying fallback method...")
+            center, scale, info = robust_bbox_computation(
+                pts, method="adaptive", target_retention=0.9, padding=0.15
+            )
+    except Exception as e:  # noqa: BLE001 — reference behavior: degrade loudly
+        print(f"Error in robust normalization: {e}")
+        print("Falling back to simple percentile method...")
+        center, scale = compute_percentile_bbox(pts, lower=1.0, upper=99.0, padding=0.15)
+        info = {"method": "fallback", "error": str(e)}
+
+    scale = float(scale) * float(cfg.get("scale", 1.0))
+    return scale, center, info
+
+
+# ---------------------------------------------------------------------------
 # Full pipelines
 # ---------------------------------------------------------------------------
 
@@ -238,7 +304,13 @@ def colmap_to_nerf(cfg, mode: str = "auto", verbose: bool = True) -> dict:
     """COLMAP text model -> transforms dict (not yet written to disk).
 
     mode="auto": corrected pipeline (align mean forward with -Z, then flip).
+    mode="auto+z": the earlier colmap2nerf.py variant — identical, but the
+      mean forward aligns with +Z (reference: colmap2nerf.py:758-763).
     mode="euler": flip, then config Euler rotation; adds near/far.
+
+    Normalization strategy is routed through cfg.normalization_method
+    (original | adaptive | percentile | statistical | hybrid) with the
+    reference's fallback chain; see resolve_normalization.
     """
     paths = colmap_paths(cfg)
     intrinsics = read_cameras_txt(paths["cameras"])
@@ -246,21 +318,27 @@ def colmap_to_nerf(cfg, mode: str = "auto", verbose: bool = True) -> dict:
     if verbose:
         print(f"Loaded {len(points)} 3D points from {paths['points3d']}")
 
-    scale, center = scene_normalization(points, cfg)
+    scale, center, norm_info = resolve_normalization(points, cfg, verbose=verbose)
     poses = read_images_txt(paths["images"])
     frames = poses_to_frames(poses, paths["image_dir"], scale, center)
     if verbose:
         print(f"Loaded {len(frames)} camera poses from {paths['images']}")
     points_norm = (points - center) * scale
 
-    if mode == "auto":
+    if mode in ("auto", "auto+z"):
+        target = np.array([0.0, 0.0, 1.0 if mode == "auto+z" else -1.0])
         mean_forward = compute_mean_forward_direction(frames)
-        R_align = rotation_between_vectors(mean_forward, np.array([0.0, 0.0, -1.0]))
+        R_align = rotation_between_vectors(mean_forward, target)
         frames, points_norm = apply_world_rotation(frames, points_norm, R_align)
         points_norm, frames = flip_colmap_to_nerf(
             points_norm, frames, cfg.get("shift", [0, 0, 0])
         )
-        validation = validate_camera_orientations(frames, points_norm, verbose=verbose)
+        if mode == "auto":
+            validation = validate_camera_orientations(frames, points_norm, verbose=verbose)
+        else:
+            # colmap2nerf.py (+Z variant) runs no orientation validation —
+            # with +Z alignment the corrected check would fail by design.
+            validation = {"passed": True}
     elif mode == "euler":
         points_norm, frames = flip_colmap_to_nerf(points_norm, frames, (0, 0, 0))
         if cfg.get("rotation", True):
@@ -295,6 +373,10 @@ def colmap_to_nerf(cfg, mode: str = "auto", verbose: bool = True) -> dict:
         "scene_aabb": aabb_info,
         "normalization": {"center": np.asarray(center).tolist(), "scale": float(scale)},
     }
+    if norm_info.get("method", "original") != "original":
+        transform["normalization"]["info"] = {
+            k: v for k, v in norm_info.items() if not isinstance(v, np.ndarray)
+        }
     if mode == "euler":
         near, far = compute_near_far_bounds(points_norm, frames, max_percentile=99)
         transform["near"] = near

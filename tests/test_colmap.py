@@ -258,3 +258,73 @@ def test_scene_aabb_clipping():
     assert info["aabb_max"][0] == 1 and info["aabb_max"][1] == 1
     assert -1.0 <= info["aabb_min"][2] <= info["aabb_max"][2] <= 1.0
     assert info["aabb_remove_below"] == pytest.approx(info["aabb_min"][2])
+
+
+def test_normalization_method_routing(tmp_path):
+    """cfg.normalization_method routes the pipeline through the 4-strategy
+    robust machinery (reference: normalize_with_aabb_improved.py:838-886);
+    each strategy produces a normalized scene end-to-end."""
+    rng = np.random.default_rng(7)
+    for method in ("adaptive", "percentile", "statistical", "hybrid"):
+        cfg, _ = _make_colmap_scene(tmp_path / method)
+        # outlier-free cloud so every strategy passes its own self-check
+        # (with gross outliers the percentile strategy legitimately falls
+        # back to adaptive — reference improved:868-874)
+        workdir = tmp_path / method / "data" / "s" / "colmap_text"
+        pts = np.array([5.0, 5.0, 5.0]) + rng.uniform(-1.0, 1.0, size=(500, 3))
+        with open(workdir / "points3D.txt", "w") as f:
+            f.write("# points\n")
+            for i, p in enumerate(pts):
+                f.write(f"{i} {p[0]} {p[1]} {p[2]} 200 100 50 0.5 1 2\n")
+        cfg = cfg.merge({"normalization_method": method})
+        result = colmap_to_nerf(cfg, mode="euler", verbose=False)
+        pts = result["points"]
+        inside = (np.abs(pts) <= 1.0).all(axis=1).mean()
+        assert inside > 0.9, (method, inside)
+        info = result["transform"]["normalization"]["info"]
+        assert info["method"] == method
+        # the user scale multiplier is applied on top (improved:888)
+        assert result["transform"]["normalization"]["scale"] == pytest.approx(
+            info["final_scale"] * 0.9
+        )
+
+
+def test_normalization_radius_prefilter(tmp_path):
+    """cfg.radius_filter runs the radius outlier filter before normalization
+    (reference: normalize_with_aabb_improved.py:485)."""
+    cfg, _ = _make_colmap_scene(tmp_path)
+    cfg = cfg.merge(
+        {
+            "normalization_method": "percentile",
+            "radius_filter": True,
+            "radius_radius": 0.5,
+            "radius_nb_points": 3,
+        }
+    )
+    result = colmap_to_nerf(cfg, mode="euler", verbose=False)
+    # the 5 far outliers are isolated -> removed before bbox fitting, so the
+    # scale is tighter than without the filter
+    cfg2, _ = _make_colmap_scene(tmp_path / "nofilter")
+    cfg2 = cfg2.merge({"normalization_method": "percentile"})
+    result2 = colmap_to_nerf(cfg2, mode="euler", verbose=False)
+    assert (
+        result["transform"]["normalization"]["scale"]
+        >= result2["transform"]["normalization"]["scale"]
+    )
+
+
+def test_colmap_to_nerf_auto_posz(tmp_path):
+    """mode='auto+z' (reference colmap2nerf.py:758-763): mean forward aligns
+    with +Z before the flip; no orientation validation runs."""
+    cfg, _ = _make_colmap_scene(tmp_path)
+    result = colmap_to_nerf(cfg, mode="auto+z", verbose=False)
+    assert result["validation"]["passed"]
+    frames = result["transform"]["frames"]
+    fwd = compute_mean_forward_direction(frames)
+    auto = colmap_to_nerf(
+        _make_colmap_scene(tmp_path / "a")[0], mode="auto", verbose=False
+    )
+    fwd_auto = compute_mean_forward_direction(auto["transform"]["frames"])
+    # the two variants differ by the target-axis sign: the flip maps both
+    # into OpenGL, leaving mean forwards pointing opposite ways along z
+    assert np.sign(fwd[2]) != np.sign(fwd_auto[2])
