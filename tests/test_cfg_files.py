@@ -7,6 +7,8 @@ import pytest
 from nerfjax.config import load_config, with_defaults
 from nerfjax.train import TrainSettings, build_fields
 
+pytestmark = pytest.mark.slow
+
 CFG_DIR = Path(__file__).parent.parent / "cfg"
 
 

@@ -11,6 +11,8 @@ import pytest
 from nerfjax.config import save_config
 from tests.synthetic import make_image_scene
 
+pytestmark = pytest.mark.slow
+
 
 def _run_cli(module, monkeypatch, argv):
     import importlib

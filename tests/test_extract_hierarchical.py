@@ -1,5 +1,6 @@
 """Hierarchical extraction must reproduce the exhaustive sweep's occupancy."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -20,6 +21,7 @@ def _cfg(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_hierarchical_matches_exact(tmp_path):
     from nerfjax.train import init_params
 

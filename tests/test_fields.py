@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def test_sh4_orthonormality():
     np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
 
 
+@pytest.mark.slow
 def test_vanilla_nerf_shapes_and_param_count():
     model = VanillaNeRF()
     params = model.init(jax.random.PRNGKey(0))
@@ -143,6 +145,7 @@ def test_instant_ngp_shapes_and_param_count():
     assert (np.asarray(sigma) >= 0).all()
 
 
+@pytest.mark.slow
 def test_instant_ngp_is_trainable():
     """Gradient flows into the hash table (the gather transpose scatter-add)."""
     model = InstantNGP("small")

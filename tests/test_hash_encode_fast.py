@@ -2,6 +2,7 @@
 implementation (fields.ngp.hashgrid_encode) up to bf16 rounding of hash-level
 table values, and be differentiable w.r.t. the table."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +19,7 @@ def _setup(n=257, log2=15, seed=0):
     return spec, planes, x01
 
 
+@pytest.mark.slow
 def test_matches_reference_oracle():
     spec, planes, x01 = _setup()
     ref = hashgrid_encode(spec, planes, x01)  # [N, 32] plane-major
@@ -46,6 +48,7 @@ def test_matches_reference_at_boundaries():
     np.testing.assert_allclose(np.asarray(fast.T), np.asarray(ref), atol=2e-3, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_gradient_matches_reference():
     spec, planes, x01 = _setup(n=64)
     g_target = jax.random.normal(jax.random.PRNGKey(5), (64, 32))
@@ -101,6 +104,7 @@ def test_planar_vanilla_matches_pointmajor():
     )
 
 
+@pytest.mark.slow
 def test_render_rays_planar_matches_render_rays_stats():
     """Planar and point-major renders share RNG usage patterns but not exact
     keys; check distributional agreement on a fixed field."""

@@ -46,6 +46,7 @@ def test_voxelize_matches_numpy():
     assert np.abs(r_nat.astype(int) - rgb.astype(int)).max() <= 1
 
 
+@pytest.mark.slow
 def test_native_speedup_is_real():
     """The point of going native: meaningfully faster than numpy brute force."""
     import time

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +80,7 @@ def test_update_grid_tracks_field():
     assert g[radius > 0.8].max() < 0.1  # decayed away
 
 
+@pytest.mark.slow
 def test_train_with_occupancy_improves(tmp_path):
     """Full step with the occupancy path on (tiny grid) trains and the grid
     update branch executes without recompilation."""

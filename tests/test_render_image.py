@@ -9,6 +9,8 @@ from nerfjax.train import build_fields, init_params, train
 from nerfjax.render_image import eval_psnr, render_image
 from tests.synthetic import make_image_scene
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained_scene(tmp_path_factory):

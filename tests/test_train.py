@@ -70,6 +70,7 @@ def test_dataset_batches_static_shapes(tmp_path):
     assert not np.allclose(batches[0]["rays_o"], b2["rays_o"])
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_vanilla(tmp_path):
     npz = tmp_path / "tiny_ray_data.npz"
     make_ray_npz(npz, n_rays=4096)
@@ -108,6 +109,7 @@ def test_train_step_decreases_loss_vanilla(tmp_path):
     assert late < early * 0.5, f"loss did not halve: {early} -> {late}"
 
 
+@pytest.mark.slow
 def test_train_step_ngp_bf16(tmp_path):
     """NGP shared-model mode with bf16 compute runs and improves."""
     npz = tmp_path / "tiny_ray_data.npz"
