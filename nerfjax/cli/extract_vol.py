@@ -23,6 +23,11 @@ def main() -> None:
                    help="npy writes occupancy_volume.npy + metadata.json next to the .pth path")
     p.add_argument("--suggest-bounds", action="store_true",
                    help="print camera-pose-derived sampling bounds and exit")
+    p.add_argument("--visualize", action="store_true",
+                   help="show a 3-D preview of the extracted occupied voxels "
+                        "(reference: extract_occupancy_volume.py:394-520)")
+    p.add_argument("--viz-max-points", type=int, default=200_000,
+                   help="subsample cap for the preview scatter")
     args = p.parse_args()
     if args.resolution is not None and args.resolution <= 0:
         raise ValueError("Resolution must be positive")
@@ -76,6 +81,18 @@ def main() -> None:
     else:
         save_volume(vol, cfg.volume_output_path)
     print("EXTRACTION COMPLETED SUCCESSFULLY!")
+
+    if args.visualize:
+        try:
+            from nerfjax.gui.viewers import display_pointcloud
+            from nerfjax.postprocess import volume_to_points
+
+            pts, rgbs = volume_to_points(vol["occupancy_volume"], vol["rgb_volume"])
+            display_pointcloud(
+                pts, rgbs, title="extracted volume", max_points=args.viz_max_points
+            )
+        except Exception as e:  # viz deps optional, extraction already saved
+            print(f"[visualize] skipped: {e}")
 
 
 if __name__ == "__main__":

@@ -26,20 +26,56 @@ import numpy as np
 from nerfjax.config import load_config, save_config
 from nerfjax.gui.logic import (
     PIPELINE_STEPS,
+    aabb_band_from_transforms,
     build_pipeline_commands,
     clip_aabb_band,
     generate_config_dict,
     load_volume_any,
     slice_z,
+    values_from_config,
 )
 
-# Schema fields surfaced in the creator tab: (key, default, kind)
+# Schema fields surfaced in the creator tab: (key, default, kind).
+# Covers the ENTIRE reference creator schema (final_gui.py:1127-1184) plus
+# the rotation block its variants read (normalize_with_aabb.py:219-283) and
+# nerfjax's extensions. kind "ilist"/"flist" = comma-separated entry.
 _CONFIG_FIELDS = [
+    # identity & file layout
     ("scene_name", "my_scene", str),
-    ("volume_resolution", 512, int),
-    ("batch_size", 4096, int),
-    ("num_epochs", 1, int),
-    ("lr", 0.0005, float),
+    ("output_dir", "./outputs/${scene_name}", str),
+    ("checkpoint_dir", "${output_dir}/checkpoints", str),
+    ("transforms_json", "transforms_${scene_name}.json", str),
+    ("rays_file", "${scene_name}_ray_data.npz", str),
+    ("workspace", "data/${scene_name}", str),
+    ("image_dir", "${workspace}/images", str),
+    ("image_dir_resize", "${workspace}/images_resized", str),
+    ("tmp_image_dir", "${workspace}/images_resized", str),
+    ("colmap_dir", "./data/${scene_name}", str),
+    ("checkpoint", "${checkpoint_dir}/nerf_final.pth", str),
+    ("volume_output_path", "${output_dir}/volume.pth", str),
+    ("sliced_vol_path", "${output_dir}/volume_sliced.pth", str),
+    # preprocessing
+    ("resize_images", False, bool),
+    ("newSize", [512, 512], "ilist"),
+    ("rotation", False, bool),
+    ("angles", [0.0, 0.0, 0.0], "flist"),
+    ("rot_order", [0, 1, 2], "ilist"),
+    ("shift", [0.0, 0.0, 0.0], "flist"),
+    ("scale", 0.9, float),
+    ("normalization_method", "original", str),
+    ("target_retention", 0.95, float),
+    ("outlier_nb_neighbors", 20, int),
+    ("outlier_std_ratio", 2.0, float),
+    ("pb_lower", 1.0, float),
+    ("pb_upper", 99.0, float),
+    ("pb_padding", 0.05, float),
+    # AABB
+    ("remove_below_aabb", True, bool),
+    ("remove_upper_aabb", True, bool),
+    ("aabb_adjust_min", [0.0, 0.0, 0.0], "flist"),
+    ("aabb_adjust_max", [0.0, 0.0, 0.0], "flist"),
+    ("aabb_slice", True, bool),
+    # model & training
     ("ngp", True, bool),
     ("nerf_type", "large", str),
     ("hidden_dim", 256, int),
@@ -47,22 +83,20 @@ _CONFIG_FIELDS = [
     ("dir_L", 4, int),
     ("N_samples", 64, int),
     ("N_importance", 128, int),
+    ("batch_size", 4096, int),
+    ("num_epochs", 1, int),
+    ("lr", 0.0005, float),
     ("white_bg", False, bool),
     ("chunk_size", 32768, int),
     ("use_memmap", False, bool),
-    ("resize_images", False, bool),
-    ("scale", 0.9, float),
-    ("target_retention", 0.95, float),
-    ("outlier_nb_neighbors", 20, int),
-    ("outlier_std_ratio", 2.0, float),
-    ("pb_lower", 1.0, float),
-    ("pb_upper", 99.0, float),
-    ("pb_padding", 0.05, float),
-    ("remove_below_aabb", True, bool),
-    ("remove_upper_aabb", True, bool),
-    ("aabb_slice", True, bool),
+    # extraction / viz
+    ("volume_resolution", 512, int),
     ("visualize", False, bool),
 ]
+
+
+def _parse_list(text: str, cast):
+    return [cast(tok) for tok in str(text).replace(",", " ").split()]
 
 
 class FinalGui:
@@ -105,10 +139,15 @@ class FinalGui:
             if kind is bool:
                 var = tk.BooleanVar(value=default)
                 ttk.Checkbutton(cell, text=key, variable=var).pack(side="left")
+            elif kind in ("ilist", "flist"):
+                ttk.Label(cell, text=key).pack(side="left")
+                var = tk.StringVar(value=", ".join(str(v) for v in default))
+                ttk.Entry(cell, textvariable=var, width=14).pack(side="left")
             else:
                 ttk.Label(cell, text=key).pack(side="left")
                 var = tk.StringVar(value=str(default))
-                ttk.Entry(cell, textvariable=var, width=14).pack(side="left")
+                width = 26 if kind is str and "$" in str(default) else 14
+                ttk.Entry(cell, textvariable=var, width=width).pack(side="left")
             self.cfg_vars[key] = (var, kind)
 
         btns = ttk.Frame(frame)
@@ -124,7 +163,14 @@ class FinalGui:
         values = {}
         for key, (var, kind) in self.cfg_vars.items():
             v = var.get()
-            values[key] = kind(v) if kind is not bool else bool(v)
+            if kind is bool:
+                values[key] = bool(v)
+            elif kind == "ilist":
+                values[key] = _parse_list(v, int)
+            elif kind == "flist":
+                values[key] = _parse_list(v, float)
+            else:
+                values[key] = kind(v)
         return values
 
     def save_config(self):
@@ -145,20 +191,17 @@ class FinalGui:
         path = filedialog.askopenfilename(filetypes=[("YAML", "*.yml *.yaml")])
         if not path:
             return
-        cfg = load_config(path)
+        values = values_from_config(load_config(path))
         for key, (var, kind) in self.cfg_vars.items():
-            src_key = {
-                "pb_lower": ("percentile_bbox", "lower"),
-                "pb_upper": ("percentile_bbox", "upper"),
-                "pb_padding": ("percentile_bbox", "padding"),
-            }.get(key)
-            try:
-                val = (
-                    cfg[src_key[0]][src_key[1]] if src_key else cfg[key]
-                )
-            except KeyError:
+            if key not in values or values[key] is None:
                 continue
-            var.set(val if kind is bool else str(val))
+            val = values[key]
+            if kind is bool:
+                var.set(bool(val))
+            elif kind in ("ilist", "flist"):
+                var.set(", ".join(str(v) for v in val))
+            else:
+                var.set(str(val))
         self.cfg_path_var.set(path)
         self._log(f"Loaded config from {path}")
 
@@ -260,6 +303,26 @@ class FinalGui:
             top, text="AABB clip", variable=self.aabb_clip, command=self._redraw
         ).pack(side="left", padx=8)
 
+        row2 = ttk.Frame(self.tab_view)
+        row2.pack(side="top", fill="x", padx=8)
+        ttk.Button(
+            row2, text="Load transforms JSON...", command=self._load_transforms
+        ).pack(side="left")
+        self.show_cube = tk.BooleanVar(value=True)
+        ttk.Checkbutton(
+            row2, text="unit cube", variable=self.show_cube, command=self._redraw
+        ).pack(side="left", padx=6)
+        self.show_axes = tk.BooleanVar(value=True)
+        ttk.Checkbutton(
+            row2, text="axes", variable=self.show_axes, command=self._redraw
+        ).pack(side="left", padx=6)
+        ttk.Label(row2, text="max points").pack(side="left", padx=(12, 2))
+        self.max_points = tk.StringVar(value="500000")
+        ttk.Entry(row2, textvariable=self.max_points, width=9).pack(side="left")
+        ttk.Button(row2, text="Open in VisPy window", command=self._open_vispy).pack(
+            side="left", padx=12
+        )
+
         import matplotlib
 
         matplotlib.use("TkAgg")
@@ -273,6 +336,7 @@ class FinalGui:
         self._points = None
         self._rgbs = None
         self._aabb = None
+        self._volume_path = None
 
     def _load_volume(self):
         from tkinter import filedialog
@@ -284,13 +348,48 @@ class FinalGui:
         def worker():
             try:
                 pts, rgbs, aabb = load_volume_any(path)
-                self._points, self._rgbs, self._aabb = pts, rgbs, aabb
+                self._points, self._rgbs = pts, rgbs
+                if aabb is not None:
+                    self._aabb = aabb
+                self._volume_path = path
                 self._log(f"Loaded {len(pts):,} points from {path}")
                 self.root.after(0, self._redraw)
             except Exception as e:
                 self._log(f"Volume load failed: {e}")
 
         threading.Thread(target=worker, daemon=True).start()
+
+    def _load_transforms(self):
+        """Read the AABB clip band from a transforms JSON, like the
+        reference viewer (final_gui.py:359-361)."""
+        from tkinter import filedialog
+
+        path = filedialog.askopenfilename(filetypes=[("JSON", "*.json")])
+        if not path:
+            return
+        try:
+            self._aabb = aabb_band_from_transforms(path)
+            self._log(
+                f"AABB band from {path}: "
+                f"[{self._aabb['aabb_remove_below']:.3f}, "
+                f"{self._aabb['aabb_remove_above']:.3f}]"
+            )
+            self._redraw()
+        except Exception as e:
+            self._log(f"Transforms load failed: {e}")
+
+    def _open_vispy(self):
+        """Hand the full (uncapped) cloud to the standalone VisPy viewer in
+        a separate process so the embedded canvas stays responsive."""
+        if getattr(self, "_volume_path", None) is None:
+            self._log("Load a volume first.")
+            return
+        import sys as _sys
+
+        subprocess.Popen(
+            [_sys.executable, "-m", "nerfjax.gui.open3d_gui", str(self._volume_path)]
+        )
+        self._log(f"Opened standalone viewer for {self._volume_path}")
 
     def _redraw(self):
         if self._points is None:
@@ -299,14 +398,31 @@ class FinalGui:
         pts, rgbs = slice_z(pts, rgbs, self.zmin.get(), self.zmax.get())
         if self.aabb_clip.get() and self._aabb:
             pts, rgbs = clip_aabb_band(pts, rgbs, self._aabb)
-        if len(pts) > 150_000:
-            idx = np.random.default_rng(0).choice(len(pts), 150_000, replace=False)
+        try:
+            cap = max(1000, int(float(self.max_points.get())))
+        except ValueError:
+            cap = 500_000
+        if len(pts) > cap:
+            idx = np.random.default_rng(0).choice(len(pts), cap, replace=False)
             pts, rgbs = pts[idx], rgbs[idx]
+            self._log(
+                f"Showing {cap:,}/{len(self._points):,} points (raise 'max "
+                "points' or use the VisPy window for the full cloud)"
+            )
         self.ax.clear()
         self.ax.scatter(
             pts[:, 0], pts[:, 1], pts[:, 2], c=np.clip(rgbs, 0, 1),
             s=self.psize.get(), marker=".",
         )
+        if self.show_cube.get():
+            from nerfjax.gui.viewers import _box_edges
+
+            for s, e in _box_edges(np.full(3, -1.0), np.full(3, 1.0)):
+                self.ax.plot(*zip(s, e), c="cyan", linewidth=0.6)
+        if self.show_axes.get():
+            for axis, color in zip(np.eye(3), ("red", "green", "blue")):
+                self.ax.plot([0, axis[0]], [0, axis[1]], [0, axis[2]],
+                             c=color, linewidth=1.2)
         self.ax.set_xlim(-1, 1)
         self.ax.set_ylim(-1, 1)
         self.ax.set_zlim(-1, 1)

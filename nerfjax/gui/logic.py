@@ -42,10 +42,6 @@ def generate_config_dict(values: dict) -> dict:
         "tmp_image_dir": values.get("tmp_image_dir", "${workspace}/images_resized"),
         "resize_images": bool(values.get("resize_images", False)),
         "newSize": list(values.get("newSize", [512, 512])),
-        "rotation": bool(values.get("rotation", True)),
-        "rotation_initial": values.get("rotation_initial", None),
-        "rot_order": list(values.get("rot_order", [0, 1, 2])),
-        "angles": list(values.get("angles", [0, 0, 0])),
         "shift": list(values.get("shift", [0, 0, 0])),
         "scale": float(values.get("scale", 0.9)),
         "target_retention": float(values.get("target_retention", 0.95)),
@@ -79,7 +75,67 @@ def generate_config_dict(values: dict) -> dict:
         "chunk_size": int(values.get("chunk_size", 32768)),
         "use_memmap": bool(values.get("use_memmap", False)),
     }
+    # Optional keys: included only when set, so a YAML that omits them
+    # (e.g. one written by the reference's own creator, which comments out
+    # the rotation block) round-trips without gaining keys.
+    for key, cast in (
+        ("rotation", bool),
+        ("rotation_initial", lambda v: v),
+        ("rot_order", list),
+        ("angles", list),
+        ("normalization_method", str),
+        ("radius_filter", bool),
+        ("radius_radius", float),
+        ("radius_nb_points", int),
+        ("occupancy_grid", bool),
+        ("occ_resolution", int),
+        ("occ_update_every", int),
+        ("precision", str),
+    ):
+        if key in values and values[key] is not None:
+            cfg[key] = cast(values[key])
+        elif key in values:  # explicit null (rotation_initial: None)
+            cfg[key] = None
     return cfg
+
+
+def values_from_config(cfg: dict) -> dict:
+    """Inverse of generate_config_dict: flatten a loaded scene YAML (any
+    superset of the reference schema, e.g. one written by the reference's
+    own config creator, final_gui.py:1127-1184) into the flat GUI value
+    dict. Nested percentile_bbox/aabb_adjust map to pb_*/aabb_adjust_*.
+    ${} interpolations stay raw (unresolved) so the round-trip is lossless."""
+    if hasattr(cfg, "to_dict"):
+        cfg = cfg.to_dict(resolve=False)
+    values = dict(cfg)
+    pb = cfg.get("percentile_bbox", {}) or {}
+    for k in ("lower", "upper", "padding"):
+        if k in pb:
+            values[f"pb_{k}"] = pb[k]
+    values.pop("percentile_bbox", None)
+    aj = cfg.get("aabb_adjust", {}) or {}
+    if "aabb_min" in aj:
+        values["aabb_adjust_min"] = list(aj["aabb_min"])
+    if "aabb_max" in aj:
+        values["aabb_adjust_max"] = list(aj["aabb_max"])
+    values.pop("aabb_adjust", None)
+    return values
+
+
+def aabb_band_from_transforms(path: str | Path) -> dict:
+    """Read the viewer's AABB clip band straight from a transforms JSON
+    (reference final_gui.py:359-361 reads scene_aabb.aabb_remove_below/above)."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    sa = data.get("scene_aabb", {}) or {}
+    return {
+        "aabb_remove_below": float(sa.get("aabb_remove_below", -1.0)),
+        "aabb_remove_above": float(sa.get("aabb_remove_above", 1.0)),
+        "aabb_min": sa.get("aabb_min", [-1.0, -1.0, -1.0]),
+        "aabb_max": sa.get("aabb_max", [1.0, 1.0, 1.0]),
+    }
 
 
 PIPELINE_STEPS = [

@@ -18,8 +18,15 @@ def _subsample(points, rgbs, max_points=200_000, seed=0):
     return points[idx], rgbs[idx]
 
 
-def display_pointcloud(points, rgbs, point_size: float = 2.0, title: str = "volume"):
-    """Interactive scatter of a colored point cloud."""
+def display_pointcloud(
+    points, rgbs, point_size: float = 2.0, title: str = "volume",
+    max_points: int | None = 500_000,
+):
+    """Interactive scatter of a colored point cloud.
+
+    The vispy path renders the FULL cloud (GPU scatter handles millions of
+    points); the matplotlib fallback subsamples to max_points (None = no
+    cap there either)."""
     points = np.asarray(points)
     rgbs = np.clip(np.asarray(rgbs, np.float64), 0, 1)
     try:
@@ -44,7 +51,10 @@ def display_pointcloud(points, rgbs, point_size: float = 2.0, title: str = "volu
     matplotlib.use(matplotlib.get_backend())
     import matplotlib.pyplot as plt
 
-    pts, cols = _subsample(points, rgbs)
+    if max_points is not None:
+        pts, cols = _subsample(points, rgbs, max_points=max_points)
+    else:
+        pts, cols = points, rgbs
     fig = plt.figure(figsize=(8, 8))
     ax = fig.add_subplot(projection="3d")
     ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cols, s=point_size, marker=".")
