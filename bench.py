@@ -11,10 +11,17 @@ reference's uniform 64+128 sampling at equal wall clock (docs/PERF.md,
 synthetic scene). The reference's exact 64+192 uniform point runs at
 ~1,045 rays/s/chip on v5e-1 (docs/PERF.md step-timing table).
 
-Baseline: the reference publishes no numbers (BASELINE.md). `vs_baseline`
-is computed against REF_RAYS_PER_SEC = 400_000, a documented estimate of
-its tiny-cuda-nn pipeline on the stated RTX-4090-class hardware; replace
-with a measured number when one exists.
+Baseline: the reference publishes no numbers (BASELINE.md). Two anchors:
+  * MEASURED same-hardware ratio: the reference's own train_no_amp.py runs
+    at 17.4 rays/s on one CPU core where nerfjax runs the identical
+    workload at 804.6 rays/s — 46.2x (benchmarks/reference_cpu.json,
+    benchmarks/nerfjax_cpu.json).
+  * `vs_baseline` divides by REF_RAYS_PER_SEC = 400_000, the documented
+    SPEED-OF-LIGHT upper bound for the reference NGP pipeline on its
+    stated RTX-4090-class hardware (pure tiny-cuda-nn kernel throughput,
+    zero torch/Python overhead); the realistic estimate from the
+    launch-overhead decomposition in BASELINE.md is 70-130k rays/s, so
+    vs_baseline is conservative by ~3-5x.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,7 +33,9 @@ import time
 
 import numpy as np
 
-REF_RAYS_PER_SEC = 400_000.0  # documented estimate, see module docstring
+# Speed-of-light upper bound for the reference on RTX-4090-class hardware;
+# see module docstring + BASELINE.md "GPU-scaling argument".
+REF_RAYS_PER_SEC = 400_000.0
 
 BATCH = 8192
 N_SAMPLES = 16
