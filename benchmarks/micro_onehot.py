@@ -48,19 +48,31 @@ def _onehot_kernel(idx_ref, g0_ref, g1_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    # Flatten the [8,128] block, then sub-chunk the one-hot build so the
+    # [sub, 4096] comparison temporaries stay within VMEM (the full
+    # [1024, 4096] int32 iota would need 16 MB).
+    SUB = 256
     idx = idx_ref[0].reshape(KB)  # [KB] int32
-    hi = (idx >> 7).astype(jnp.int32)
-    lo = (idx & 127).astype(jnp.int32)
-    arow = jax.lax.broadcasted_iota(jnp.int32, (KB, A_ROWS), 1)
-    A = (hi[:, None] == arow).astype(jnp.bfloat16)  # [KB, 4096]
-    lrow = jax.lax.broadcasted_iota(jnp.int32, (KB, 128), 1)
-    L = lo[:, None] == lrow  # [KB, 128] bool
-    B0 = jnp.where(L, g0_ref[0].reshape(KB)[:, None], 0.0).astype(jnp.bfloat16)
-    B1 = jnp.where(L, g1_ref[0].reshape(KB)[:, None], 0.0).astype(jnp.bfloat16)
-    B = jnp.concatenate([B0, B1], axis=1)  # [KB, 256]
-    out_ref[:] += jax.lax.dot_general(
-        A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    g0 = g0_ref[0].reshape(KB)
+    g1 = g1_ref[0].reshape(KB)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+    arow = jax.lax.broadcasted_iota(jnp.int32, (SUB, A_ROWS), 1)
+    acc = jnp.zeros((A_ROWS, 256), jnp.float32)
+    for s in range(KB // SUB):
+        sl = jax.lax.slice(idx, (s * SUB,), ((s + 1) * SUB,))
+        hi = (sl >> 7).astype(jnp.int32)[:, None]  # [SUB, 1]
+        lo = (sl & 127).astype(jnp.int32)[:, None]
+        A = (hi == arow).astype(jnp.bfloat16)  # [SUB, 4096]
+        L = lo == lrow  # [SUB, 128]
+        gs0 = jax.lax.slice(g0, (s * SUB,), ((s + 1) * SUB,))[:, None]
+        gs1 = jax.lax.slice(g1, (s * SUB,), ((s + 1) * SUB,))[:, None]
+        B0 = jnp.where(L, gs0, 0.0).astype(jnp.bfloat16)
+        B1 = jnp.where(L, gs1, 0.0).astype(jnp.bfloat16)
+        B = jnp.concatenate([B0, B1], axis=1)  # [SUB, 256]
+        acc = acc + jax.lax.dot_general(
+            A, B, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    out_ref[:] += acc
 
 
 @jax.jit

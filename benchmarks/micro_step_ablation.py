@@ -1,0 +1,151 @@
+"""Decompose the NGP train step's cost by ablating gradient paths.
+
+Measures the full jitted train step at the headline operating point, then
+variants with parts knocked out, to locate where the time actually goes:
+
+  full        — the real train step (grads for everything)
+  no-hash-bwd — stop_gradient around the hash-level encode (kills the
+                2x[T] scatter-add backward)
+  no-enc-bwd  — stop_gradient around the whole hash-grid encode (also
+                kills the dense-level cell-row scatter backward)
+  fwd-only    — loss only, no grad/optimizer at all
+
+Usage: python benchmarks/micro_step_ablation.py [--batch 8192] [--ns 16] [--ni 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfjax.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from nerfjax.config import ConfigNode, with_defaults  # noqa: E402
+from nerfjax.parallel import make_mesh, replicate, shard_batch  # noqa: E402
+from nerfjax.train import (  # noqa: E402
+    TrainSettings,
+    build_fields,
+    init_occupancy,
+    init_params,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def make_batch(B):
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o + rng.uniform(-0.3, 0.3, size=(B, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return {
+        "rays_o": o,
+        "rays_d": d.astype(np.float32),
+        "rgb": rng.uniform(size=(B, 3)).astype(np.float32),
+        "t_near": np.full((B,), 1.5, np.float32),
+        "t_far": np.full((B,), 3.5, np.float32),
+    }
+
+
+def time_step(train_step, params, opt_state, step, occ, key, batch, iters=10):
+    for _ in range(3):
+        params, opt_state, step, occ, metrics = train_step(
+            params, opt_state, step, occ, key, batch
+        )
+    float(metrics["loss_total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, step, occ, metrics = train_step(
+            params, opt_state, step, occ, key, batch
+        )
+    float(metrics["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--ns", type=int, default=16)
+    p.add_argument("--ni", type=int, default=32)
+    p.add_argument("--occupancy", action="store_true", default=True)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    mesh = make_mesh()
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "ablate",
+                "ngp": True,
+                "nerf_type": "large",
+                "batch_size": args.batch,
+                "N_samples": args.ns,
+                "N_importance": args.ni,
+                "precision": "bf16",
+                "occupancy_grid": bool(args.occupancy),
+            }
+        )
+    )
+    settings = TrainSettings.from_cfg(cfg, total_steps=10_000)
+    fc, ff, _ = build_fields(cfg)
+    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(settings)
+
+    batch = shard_batch(make_batch(args.batch), mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+
+    import nerfjax.ops.hash_encode as he
+
+    orig = he._hash_levels_encode
+
+    def run(name, patch=None):
+        if patch is not None:
+            he._hash_levels_encode = patch
+        try:
+            ts = make_train_step(settings, fc, ff, tx, mesh)
+            params = replicate(jax.device_put(params0), mesh)
+            opt_state = replicate(tx.init(params0), mesh)
+            step = replicate(jnp.zeros((), jnp.int32), mesh)
+            occ = replicate(init_occupancy(settings), mesh)
+            dt = time_step(ts, params, opt_state, step, occ, key, batch, args.iters)
+            rays = args.batch / dt
+            print(f"  {name:12s} {dt*1e3:8.1f} ms/step  ({rays:,.0f} rays/s)")
+            return dt
+        finally:
+            he._hash_levels_encode = orig
+
+    print(
+        f"devices={jax.devices()} batch={args.batch} "
+        f"samples={args.ns}+{args.ni} occupancy={args.occupancy}"
+    )
+
+    run("full")
+
+    def no_hash_bwd(spec, hp, x, y, z):
+        return jax.lax.stop_gradient(orig(spec, hp, x, y, z))
+
+    run("no-hash-bwd", no_hash_bwd)
+
+    # also kill the dense-level backward (cell-row scatter + assembly adds)
+    orig_dense = he._dense_levels_encode
+
+    def no_dense_bwd(spec, dense, planes, x, y, z, dtype):
+        e0, e1 = orig_dense(spec, dense, planes, x, y, z, dtype)
+        return jax.lax.stop_gradient(e0), jax.lax.stop_gradient(e1)
+
+    he._dense_levels_encode = no_dense_bwd
+    try:
+        run("no-enc-bwd", no_hash_bwd)
+    finally:
+        he._dense_levels_encode = orig_dense
+
+
+if __name__ == "__main__":
+    main()

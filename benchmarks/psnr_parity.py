@@ -1,0 +1,184 @@
+"""PSNR-parity experiment: uniform reference sampling vs occupancy-culled.
+
+Protocol (VERDICT round-1 item 5: >=3 seeds, >=2 scene geometries, equal
+wall-clock comparison):
+
+  * model: Instant-NGP medium (2^17 hash), batch 2048, bf16, v5e-1
+  * arm "uniform":   N_samples=64, N_importance=128 (reference sampling,
+                     occupancy_grid off) for --steps (default 200)
+  * arm "occupancy": 16+32 with the occupancy grid, 3x the uniform arm's
+                     steps (default 600) — chosen so its wall clock lands at
+                     or below the uniform arm's (the round-1 finding)
+  * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
+  * eval: held-out rays (unseen seed), rendered with the SAME uniform
+    64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
+
+Each run appends one row to benchmarks/psnr_parity.json. `--suite` runs all
+2 scenes x 3 seeds x 2 arms sequentially (skipping rows already present).
+
+Usage:
+  python benchmarks/psnr_parity.py --scene sphere --seed 0 --arm uniform
+  python benchmarks/psnr_parity.py --suite
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).parent
+REPO = HERE.parent
+OUT = HERE / "out"
+RESULTS = HERE / "psnr_parity.json"
+
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+STEPS_PER_EPOCH = 50
+EVAL_SEED = 9999
+EVAL_RAYS = 4096
+
+
+def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
+    from nerfjax.config import ConfigNode, with_defaults
+
+    occupancy = arm == "occupancy"
+    out_dir = OUT / "parity" / tag
+    return with_defaults(
+        ConfigNode(
+            {
+                "scene_name": tag,
+                "ngp": True,
+                "nerf_type": "medium",
+                "batch_size": batch,
+                "num_epochs": steps // STEPS_PER_EPOCH,
+                "lr": 5e-4,
+                "N_samples": 16 if occupancy else 64,
+                "N_importance": 32 if occupancy else 128,
+                "precision": "bf16",
+                "occupancy_grid": occupancy,
+                "rays_file": str(rays_file),
+                "output_dir": str(out_dir),
+                "checkpoint_dir": str(out_dir / "checkpoints"),
+            }
+        )
+    )
+
+
+def _ensure_rays(scene: str, n_rays: int, seed: int) -> Path:
+    import numpy as np
+
+    from synthetic import make_ray_npz
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    path = OUT / f"rays_{scene}_s{seed}_{n_rays}.npz"
+    if not path.exists():
+        make_ray_npz(path, n_rays=n_rays, seed=seed, scene=scene)
+    return path
+
+
+def _eval_psnr(cfg, params, scene: str) -> float:
+    """Held-out PSNR with uniform 64+128 sampling (identical for both arms)."""
+    import jax
+    import numpy as np
+
+    from nerfjax.render import render_rays
+    from nerfjax.train import _split_params, build_fields
+    from synthetic import make_ray_npz
+
+    eval_path = OUT / f"eval_{scene}_{EVAL_SEED}.npz"
+    if eval_path.exists():
+        with np.load(eval_path) as d:
+            data = {k: d[k] for k in d}
+    else:
+        data = make_ray_npz(eval_path, n_rays=EVAL_RAYS, seed=EVAL_SEED, scene=scene)
+
+    fc, ff, _ = build_fields(cfg)
+    pc, pf = _split_params(params)
+    out = render_rays(
+        fc, pc, ff, pf,
+        jax.random.PRNGKey(0),
+        data["rays_o"], data["rays_d"], data["t_near"], data["t_far"],
+        n_samples=64, n_importance=128,
+    )
+    pred = np.asarray(out["rgb_fine"], np.float32)
+    mse = float(np.mean((pred - data["rgbs"]) ** 2))
+    return -10.0 * float(np.log10(mse))
+
+
+def run_one(scene: str, seed: int, arm: str, steps: int, batch: int) -> dict:
+    from nerfjax.train import train
+    from nerfjax.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    tag = f"{scene}_s{seed}_{arm}"
+    rays = _ensure_rays(scene, batch * STEPS_PER_EPOCH, seed)
+    cfg = _cfg(tag, arm, batch, steps, rays)
+    t0 = time.perf_counter()
+    result = train(cfg, seed=seed, log_every=100)
+    wall = time.perf_counter() - t0
+    psnr = _eval_psnr(cfg, result["params"], scene)
+    row = {
+        "scene": scene,
+        "seed": seed,
+        "arm": arm,
+        "steps": steps,
+        "batch": batch,
+        "wall_s": round(wall, 1),
+        "rays_per_sec": round(result["rays_per_sec"], 1),
+        "eval_psnr": round(psnr, 3),
+    }
+    print(json.dumps(row))
+    existing = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
+    existing = [
+        r for r in existing
+        if not (r["scene"] == scene and r["seed"] == seed and r["arm"] == arm)
+    ]
+    existing.append(row)
+    RESULTS.write_text(json.dumps(existing, indent=2) + "\n")
+    return row
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", choices=["sphere", "boxes"], default="sphere")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arm", choices=["uniform", "occupancy"], default="uniform")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--uniform-steps", type=int, default=200)
+    p.add_argument("--suite", action="store_true")
+    args = p.parse_args()
+
+    if args.suite:
+        done = (
+            {(r["scene"], r["seed"], r["arm"]) for r in json.loads(RESULTS.read_text())}
+            if RESULTS.exists()
+            else set()
+        )
+        for scene in ("sphere", "boxes"):
+            for seed in (0, 1, 2):
+                for arm in ("uniform", "occupancy"):
+                    if (scene, seed, arm) in done:
+                        print(f"skip {scene} s{seed} {arm} (done)")
+                        continue
+                    steps = (
+                        args.uniform_steps
+                        if arm == "uniform"
+                        else 3 * args.uniform_steps
+                    )
+                    run_one(scene, seed, arm, steps, args.batch)
+        return
+
+    steps = args.steps or (
+        args.uniform_steps if args.arm == "uniform" else 3 * args.uniform_steps
+    )
+    run_one(args.scene, args.seed, args.arm, steps, args.batch)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,27 +15,54 @@ from pathlib import Path
 import numpy as np
 
 
-def analytic_density(pts: np.ndarray) -> np.ndarray:
-    """Soft sphere: sigma=25 inside r<0.5, smooth falloff."""
-    r = np.linalg.norm(pts, axis=-1)
-    return 25.0 / (1.0 + np.exp((r - 0.5) * 40.0))
+def analytic_density(pts: np.ndarray, scene: str = "sphere") -> np.ndarray:
+    """Analytic density field.
+
+    scene="sphere": soft sphere, sigma=25 inside r<0.5, smooth falloff.
+    scene="boxes": two offset soft boxes + a thin vertical bar — a second
+    geometry (sharp edges, disconnected components) for multi-scene
+    PSNR-parity experiments.
+    """
+    if scene == "sphere":
+        r = np.linalg.norm(pts, axis=-1)
+        return 25.0 / (1.0 + np.exp((r - 0.5) * 40.0))
+    if scene == "boxes":
+        def soft_box(p, center, half):
+            d = np.abs(p - center) - half
+            sdf = np.linalg.norm(np.maximum(d, 0.0), axis=-1) + np.minimum(
+                np.max(d, axis=-1), 0.0
+            )
+            return 25.0 / (1.0 + np.exp(sdf * 60.0))
+
+        s = soft_box(pts, np.array([-0.35, -0.2, -0.1]), np.array([0.25, 0.3, 0.15]))
+        s = s + soft_box(pts, np.array([0.4, 0.25, 0.2]), np.array([0.2, 0.2, 0.3]))
+        s = s + soft_box(pts, np.array([0.0, -0.3, 0.3]), np.array([0.06, 0.06, 0.45]))
+        return np.minimum(s, 25.0)
+    raise ValueError(f"unknown scene {scene!r}")
 
 
-def analytic_rgb(pts: np.ndarray) -> np.ndarray:
+def analytic_rgb(pts: np.ndarray, scene: str = "sphere") -> np.ndarray:
     """Position-coded color in [0,1]."""
+    if scene == "boxes":
+        # checker-modulated color: higher-frequency target than the sphere
+        checker = 0.5 + 0.5 * np.sign(
+            np.sin(pts[..., :1] * 9.0) * np.sin(pts[..., 1:2] * 9.0)
+        )
+        base = np.clip(pts * 0.5 + 0.5, 0.0, 1.0)
+        return np.clip(base * (0.4 + 0.6 * checker), 0.0, 1.0)
     return np.clip(pts * 0.5 + 0.5, 0.0, 1.0)
 
 
 def march_rays(
     rays_o: np.ndarray, rays_d: np.ndarray, t_near: np.ndarray, t_far: np.ndarray,
-    n_steps: int = 256,
+    n_steps: int = 256, scene: str = "sphere",
 ) -> np.ndarray:
     """Dense deterministic ray march of the analytic field (numpy oracle)."""
     t = np.linspace(0.0, 1.0, n_steps, dtype=np.float32)[None]
     z = t_near[:, None] * (1 - t) + t_far[:, None] * t  # [N,S]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    sigma = analytic_density(pts)
-    rgb = analytic_rgb(pts)
+    sigma = analytic_density(pts, scene)
+    rgb = analytic_rgb(pts, scene)
     dists = np.diff(z, axis=-1)
     dists = np.concatenate([dists, np.full_like(dists[:, :1], 1e10)], -1)
     alpha = 1.0 - np.exp(-sigma * dists)
@@ -46,7 +73,9 @@ def march_rays(
     return (w[..., None] * rgb).sum(1).astype(np.float32)
 
 
-def make_ray_npz(path: str | Path, n_rays: int = 8192, seed: int = 0) -> dict:
+def make_ray_npz(
+    path: str | Path, n_rays: int = 8192, seed: int = 0, scene: str = "sphere"
+) -> dict:
     """Random inward rays from a shell, with analytic target colors."""
     rng = np.random.default_rng(seed)
     o = rng.normal(size=(n_rays * 2, 3)).astype(np.float32)
@@ -66,7 +95,7 @@ def make_ray_npz(path: str | Path, n_rays: int = 8192, seed: int = 0) -> dict:
     o, d, tn, tf = o[hit][:n_rays], d[hit][:n_rays], tn[hit][:n_rays], tf[hit][:n_rays]
     tn = np.maximum(tn, 0.0)
 
-    rgb = march_rays(o, d, tn, tf)
+    rgb = march_rays(o, d, tn, tf, scene=scene)
     data = {
         "rays_o": o.astype(np.float32),
         "rays_d": d.astype(np.float32),
