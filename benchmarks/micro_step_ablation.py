@@ -19,6 +19,11 @@ import argparse
 import time
 from functools import partial
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

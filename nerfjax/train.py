@@ -403,6 +403,12 @@ def train(
                         f"Time: {elapsed:.2f}s | {rays_per_s:,.0f} rays/s |"
                     )
                     gstep = epoch * steps_per_epoch + idx
+                    # LR for TB from the host-side step counter, evaluated on
+                    # the CPU backend — no device fetch / TPU dispatch in the
+                    # logging path (each synced call costs ~30 ms through the
+                    # axon tunnel).
+                    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                        lr_now = float(sched(gstep - 1))
                     logger.scalars(
                         gstep,
                         {
@@ -410,7 +416,7 @@ def train(
                             "Loss/Fine": metrics_host["loss_fine"],
                             "Loss/Total": metrics_host["loss_total"],
                             "PSNR": metrics_host["psnr"],
-                            "Scheduler Step": float(sched(int(jax.device_get(step)) - 1)),
+                            "Scheduler Step": lr_now,
                             "rays_per_sec": rays_per_s,
                         },
                     )
