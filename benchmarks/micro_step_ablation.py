@@ -100,25 +100,29 @@ def main():
     )
     settings = TrainSettings.from_cfg(cfg, total_steps=10_000)
     fc, ff, _ = build_fields(cfg)
-    params0 = init_params(cfg, jax.random.PRNGKey(0))
+    # keep host copies: the train step donates its buffers, so each run
+    # must materialize fresh device arrays
+    params0 = jax.device_get(init_params(cfg, jax.random.PRNGKey(0)))
     tx = make_optimizer(settings)
+    opt0 = jax.device_get(tx.init(params0))
 
     batch = shard_batch(make_batch(args.batch), mesh)
-    key = replicate(jax.random.PRNGKey(1), mesh)
 
     import nerfjax.ops.hash_encode as he
 
     orig = he._hash_levels_encode
 
-    def run(name, patch=None):
+    def run(name, patch=None, fields=None):
         if patch is not None:
             he._hash_levels_encode = patch
         try:
-            ts = make_train_step(settings, fc, ff, tx, mesh)
-            params = replicate(jax.device_put(params0), mesh)
-            opt_state = replicate(tx.init(params0), mesh)
+            fcr, ffr = fields if fields is not None else (fc, ff)
+            ts = make_train_step(settings, fcr, ffr, tx, mesh)
+            params = replicate(jax.tree.map(jnp.asarray, params0), mesh)
+            opt_state = replicate(jax.tree.map(jnp.asarray, opt0), mesh)
             step = replicate(jnp.zeros((), jnp.int32), mesh)
             occ = replicate(init_occupancy(settings), mesh)
+            key = replicate(jax.random.PRNGKey(1), mesh)
             dt = time_step(ts, params, opt_state, step, occ, key, batch, args.iters)
             rays = args.batch / dt
             print(f"  {name:12s} {dt*1e3:8.1f} ms/step  ({rays:,.0f} rays/s)")
@@ -150,6 +154,12 @@ def main():
         run("no-enc-bwd", no_hash_bwd)
     finally:
         he._dense_levels_encode = orig_dense
+
+    # stochastic corner gradients (unbiased k-of-8 sampling)
+    for k in (4, 2, 1):
+        cfg_k = cfg.merge({"hash_grad_corners": k})
+        fck, ffk, _ = build_fields(cfg_k)
+        run(f"sgrad-k{k}", fields=(fck, ffk))
 
 
 if __name__ == "__main__":

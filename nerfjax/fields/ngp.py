@@ -46,6 +46,13 @@ class HashGridSpec:
     log2_hashmap_size: int = 19
     base_resolution: int = 16
     per_level_scale: float = 1.5
+    # Hash-level backward: 8 = exact trilinear gradient; 1..7 = UNBIASED
+    # stochastic estimate scattering only k corners per (level, point),
+    # sampled proportional to their trilinear weight. The table scatter-add
+    # is 68% of the v5e train step (docs/PERF.md), so k=1 cuts the dominant
+    # cost ~8x at the price of per-step gradient noise. Forward is always
+    # exact.
+    grad_corners: int = 8
 
     @property
     def hashmap_size(self) -> int:
@@ -209,6 +216,7 @@ class InstantNGP:
     per_level_scale: float = 1.5
     hidden: int = 64
     geo_feat_dim: int = 16
+    grad_corners: int = 8  # see HashGridSpec.grad_corners
 
     @property
     def spec(self) -> HashGridSpec:
@@ -220,6 +228,7 @@ class InstantNGP:
             log2_hashmap_size=NERF_TYPE_LOG2[self.nerf_type],
             base_resolution=self.base_resolution,
             per_level_scale=self.per_level_scale,
+            grad_corners=self.grad_corners,
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> Params:

@@ -160,16 +160,63 @@ def _hash_levels_bwd(spec, res, g):
     Lh = len(hashed)
     N = x.shape[0]
     T_hash = sum(lp["size"] for lp in hashed)
-    idx = _hash_level_indices(spec, hashed, x, y, z).reshape(-1)  # [Lh*8*N]
-    w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
-    # g: [2, Lh, N] -> per-corner update = g_level * w_corner
-    g0 = (jnp.repeat(g[0], 8, axis=0) * w).reshape(-1)
-    g1 = (jnp.repeat(g[1], 8, axis=0) * w).reshape(-1)
-    grad0 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(
-        g0, mode="drop", indices_are_sorted=False, unique_indices=False
-    )
-    grad1 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(g1, mode="drop")
-    # positions get no gradient (matches tcnn: no dL/dx through the grid)
+    k = int(getattr(spec, "grad_corners", 8))
+    if k >= 8:
+        idx = _hash_level_indices(spec, hashed, x, y, z).reshape(-1)  # [Lh*8*N]
+        w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
+        # g: [2, Lh, N] -> per-corner update = g_level * w_corner
+        g0 = (jnp.repeat(g[0], 8, axis=0) * w).reshape(-1)
+        g1 = (jnp.repeat(g[1], 8, axis=0) * w).reshape(-1)
+        grad0 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(
+            g0, mode="drop", indices_are_sorted=False, unique_indices=False
+        )
+        grad1 = jnp.zeros((T_hash,), jnp.float32).at[idx].add(g1, mode="drop")
+        # positions get no gradient (matches tcnn: no dL/dx through the grid)
+        return jnp.stack([grad0, grad1]), None, None, None
+
+    # Stochastic corner gradient (grad_corners = k < 8): per (level, point),
+    # draw k corners with probability = trilinear weight and scatter g/k.
+    # UNBIASED: E[sum_j (g/k) * 1[c_j = c]] = sum_j (g/k) * w_c summed over
+    # draws = g * w_c — exactly the dense update — because the 8 trilinear
+    # weights sum to 1 (the inverse-probability factor w_c/p_c cancels).
+    # The scatter volume, 68% of the v5e train step at k=8 (docs/PERF.md),
+    # shrinks by 8/k. Randomness derives from the position bits: sample
+    # positions are re-jittered every training step, so draws decorrelate
+    # across steps without threading an explicit key through the VJP.
+    idx = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
+    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
+    cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0
+    bx = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    by = jax.lax.bitcast_convert_type(y, jnp.uint32)
+    bz = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    seed = (
+        bx * np.uint32(0x9E3779B1)
+        ^ by * np.uint32(0x85EBCA77)
+        ^ bz * np.uint32(0xC2B2AE3D)
+    )  # [N]
+    lvl = (
+        jnp.arange(Lh, dtype=jnp.uint32)[:, None] * np.uint32(2654435761)
+    )  # [Lh, 1]
+    corner8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]  # [1, 8, 1]
+
+    sel_rows = []
+    for j in range(k):
+        h = (seed[None, :] ^ lvl) + np.uint32((j * 0x7F4A7C15) & 0xFFFFFFFF)
+        h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        u = (h >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))  # [Lh,N)
+        u = u * cdf[:, 7, :]  # guard against float cumsum < 1
+        c = jnp.sum(
+            (u[:, None, :] >= cdf[:, :7, :]).astype(jnp.int32), axis=1
+        )  # [Lh, N] in 0..7
+        onehot = (corner8 == c[:, None, :]).astype(jnp.int32)  # [Lh, 8, N]
+        sel_rows.append(jnp.sum(idx * onehot, axis=1))  # [Lh, N]
+    sel = jnp.stack(sel_rows).reshape(-1)  # [k*Lh*N]
+    inv_k = np.float32(1.0 / k)
+    gv0 = jnp.broadcast_to(g[0][None] * inv_k, (k, Lh, N)).reshape(-1)
+    gv1 = jnp.broadcast_to(g[1][None] * inv_k, (k, Lh, N)).reshape(-1)
+    grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
+    grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
     return jnp.stack([grad0, grad1]), None, None, None
 
 

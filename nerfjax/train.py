@@ -56,7 +56,10 @@ def build_fields(cfg: ConfigNode):
     independent MLPs (reference: scripts/train.py:219-228).
     """
     if cfg.get("ngp", True):
-        field = InstantNGP(nerf_type=cfg.get("nerf_type", "large"))
+        field = InstantNGP(
+            nerf_type=cfg.get("nerf_type", "large"),
+            grad_corners=int(cfg.get("hash_grad_corners", 8)),
+        )
         return field, field, True
     field = VanillaNeRF(
         pos_L=cfg.get("pos_L", 10),

@@ -159,3 +159,64 @@ def test_otsu_matches_reference_histogram():
     assert 0.3 < t < 4.5  # separates the modes
     occ = (v > t).mean()
     assert 0.05 < occ < 0.15
+
+
+def test_stochastic_corner_gradient_unbiased():
+    """grad_corners=k<8 scatters k weight-sampled corners with value g/k.
+    Checks: (a) total mass is exactly preserved (every point contributes
+    exactly g in total, since trilinear weights sum to 1), (b) the gradient
+    lands only on entries the exact gradient touches, (c) over many random
+    points the per-entry estimate matches the exact gradient (law of large
+    numbers: each hash entry receives ~N*8/T contributions)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfjax.fields.ngp import HashGridSpec
+    from nerfjax.ops.hash_encode import hash_encode_planar
+
+    spec8 = HashGridSpec(n_levels=6, log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=2.0, grad_corners=8)
+    spec1 = dataclasses.replace(spec8, grad_corners=1)
+    spec2 = dataclasses.replace(spec8, grad_corners=2)
+
+    rng = np.random.default_rng(0)
+    N = 20000
+    x = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    planes = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (2, spec8.total_table_size)).astype(np.float32)
+    )
+
+    def loss(spec):
+        def f(p):
+            enc = hash_encode_planar(spec, p, x, y, z, dtype=jnp.float32)
+            return jnp.sum(enc * 0.001)  # uniform cotangent
+        return jax.grad(f)(planes)
+
+    g_exact = np.asarray(loss(spec8))
+    for spec_k, k in ((spec1, 1), (spec2, 2)):
+        g_stoch = np.asarray(loss(spec_k))
+        # (a) exact mass preservation per plane
+        np.testing.assert_allclose(
+            g_stoch.sum(axis=1), g_exact.sum(axis=1), rtol=1e-4
+        )
+        # (b) support subset: stochastic entries are a subset of exact's
+        assert np.all((g_stoch != 0) <= (g_exact != 0)), k
+        # (c) statistical agreement: correlation of per-entry gradients
+        mask = g_exact[0] != 0
+        corr = np.corrcoef(g_stoch[0][mask], g_exact[0][mask])[0, 1]
+        assert corr > 0.55, (k, corr)
+
+
+def test_grad_corners_flows_from_cfg():
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import build_fields
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_grad_corners": 2}))
+    fc, _, _ = build_fields(cfg)
+    assert fc.spec.grad_corners == 2
