@@ -9,6 +9,9 @@ wall-clock comparison):
   * arm "occupancy": 16+32 with the occupancy grid, 3x the uniform arm's
                      steps (default 600) — chosen so its wall clock lands at
                      or below the uniform arm's (the round-1 finding)
+  * arm "sgrad2":    occupancy 16+32 PLUS hash_grad_corners=2 (unbiased
+                     stochastic corner gradients) at the same 3x steps —
+                     validates that the 2x-faster backward holds PSNR
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -45,7 +48,7 @@ EVAL_RAYS = 4096
 def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
     from nerfjax.config import ConfigNode, with_defaults
 
-    occupancy = arm == "occupancy"
+    occupancy = arm in ("occupancy", "sgrad2")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -60,6 +63,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
                 "N_importance": 32 if occupancy else 128,
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
+                "hash_grad_corners": 2 if arm == "sgrad2" else 8,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -147,7 +151,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", choices=["sphere", "boxes"], default="sphere")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--arm", choices=["uniform", "occupancy"], default="uniform")
+    p.add_argument("--arm", choices=["uniform", "occupancy", "sgrad2"],
+                   default="uniform")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--uniform-steps", type=int, default=200)
@@ -162,7 +167,7 @@ def main() -> None:
         )
         for scene in ("sphere", "boxes"):
             for seed in (0, 1, 2):
-                for arm in ("uniform", "occupancy"):
+                for arm in ("uniform", "occupancy", "sgrad2"):
                     if (scene, seed, arm) in done:
                         print(f"skip {scene} s{seed} {arm} (done)")
                         continue
