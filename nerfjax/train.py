@@ -41,6 +41,7 @@ from nerfjax.parallel import (
     replicate,
     replicated_sharding,
 )
+from nerfjax.parallel.mesh import DATA_AXIS
 from nerfjax.render import render_rays_planar
 
 
@@ -111,6 +112,9 @@ class TrainSettings:
     use_occupancy: bool = True
     occ_resolution: int = 128
     occ_update_every: int = 16
+    # Tensor-parallel hash table (see table_shardings): memory-scaling mode
+    # for hash tables too large to replicate per chip.
+    shard_hash_table: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: ConfigNode, total_steps: int) -> "TrainSettings":
@@ -128,6 +132,7 @@ class TrainSettings:
             use_occupancy=bool(cfg.get("occupancy_grid", True)),
             occ_resolution=int(cfg.get("occ_resolution", 128)),
             occ_update_every=int(cfg.get("occ_update_every", 16)),
+            shard_hash_table=bool(cfg.get("shard_hash_table", False)),
         )
 
     def occ_spec(self):
@@ -213,6 +218,7 @@ def make_train_step(
     field_fine,
     tx: optax.GradientTransformation,
     mesh,
+    param_template=None,
 ) -> Callable:
     """Build the jitted, sharded train step.
 
@@ -255,12 +261,49 @@ def make_train_step(
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    psh, oshard = repl, repl
+    if getattr(settings, "shard_hash_table", False):
+        if param_template is None:
+            raise ValueError(
+                "shard_hash_table=True requires param_template (pass the "
+                "initialized params pytree to make_train_step)"
+            )
+        psh, oshard = table_shardings(mesh, param_template, tx)
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, repl, repl, bsh),
-        out_shardings=(repl, repl, repl, repl, repl),
+        in_shardings=(psh, oshard, repl, repl, repl, bsh),
+        out_shardings=(psh, oshard, repl, repl, repl),
         donate_argnums=(0, 1, 2, 3),
     )
+
+
+def table_shardings(mesh, param_template, tx):
+    """Tensor parallelism over the dominant parameter: every [2, T] hash
+    -table-shaped leaf (the table itself and its AdamW moments) shards along
+    T across the mesh; everything else replicates. GSPMD partitions the
+    encode gather and backward scatter against the sharded operand and
+    inserts the collectives; numerics match the replicated path (validated
+    on the 8-virtual-device mesh). This is a MEMORY-scaling mode: per-chip
+    table + optimizer memory drops by the mesh size, enabling
+    log2_hashmap_size >= 22 scenes that would not fit replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = replicated_sharding(mesh)
+    table_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    table_shapes = {
+        v.shape
+        for field in param_template.values()
+        for k, v in field.items()
+        if k == "table"
+    }
+
+    def leaf(x):
+        return table_sh if x.shape in table_shapes else repl
+
+    psh = jax.tree_util.tree_map(leaf, param_template)
+    opt_template = jax.eval_shape(tx.init, param_template)
+    oshard = jax.tree_util.tree_map(leaf, opt_template)
+    return psh, oshard
 
 
 def init_occupancy(settings: TrainSettings) -> jnp.ndarray:
@@ -343,13 +386,20 @@ def train(
 
     occ_grid = init_occupancy(settings)
 
-    params = replicate(params, mesh)
-    opt_state = replicate(opt_state, mesh)
+    if settings.shard_hash_table:
+        psh, oshard = table_shardings(mesh, params, tx)
+        params = jax.tree_util.tree_map(jax.device_put, params, psh)
+        opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, oshard)
+    else:
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
     step = replicate(step, mesh)
     k_train = replicate(k_train, mesh)
     occ_grid = replicate(occ_grid, mesh)
 
-    train_step = make_train_step(settings, field_coarse, field_fine, tx, mesh)
+    train_step = make_train_step(
+        settings, field_coarse, field_fine, tx, mesh, param_template=params
+    )
 
     start_time = time.time()
     rays_done = 0

@@ -192,3 +192,87 @@ def test_full_train_loop_and_checkpoints(tmp_path):
     train(cfg2, resume=True, log_every=1000)
     obj2 = pth.load(ckpt_dir / "nerf_final.pth")
     assert obj2["iteration"] == 4
+
+
+def test_table_sharded_train_step_matches_replicated():
+    """shard_hash_table=True (tensor-parallel hash table) must produce
+    bit-identical results to the replicated path on the 8-device mesh, with
+    the updated table actually sharded along its entry axis."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.parallel import make_mesh, replicate, shard_batch
+    from nerfjax.train import (
+        TrainSettings,
+        build_fields,
+        init_occupancy,
+        init_params,
+        make_optimizer,
+        make_train_step,
+        table_shardings,
+    )
+
+    mesh = make_mesh()
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "tp",
+                "ngp": True,
+                "nerf_type": "small",
+                "N_samples": 4,
+                "N_importance": 4,
+                "precision": "bf16",
+                "occupancy_grid": False,
+            }
+        )
+    )
+    B = 32
+    settings = TrainSettings.from_cfg(cfg, total_steps=100)
+    fc, ff, _ = build_fields(cfg)
+    params0 = jax.device_get(init_params(cfg, jax.random.PRNGKey(0)))
+    tx = make_optimizer(settings)
+    opt0 = jax.device_get(tx.init(params0))
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    batch = shard_batch(
+        {
+            "rays_o": o,
+            "rays_d": d.astype(np.float32),
+            "rgb": rng.uniform(size=(B, 3)).astype(np.float32),
+            "t_near": np.full((B,), 1.5, np.float32),
+            "t_far": np.full((B,), 3.5, np.float32),
+        },
+        mesh,
+    )
+
+    def run(shard):
+        s = dataclasses.replace(settings, shard_hash_table=shard)
+        params = jax.tree_util.tree_map(jnp.asarray, params0)
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt0)
+        if shard:
+            psh, osh = table_shardings(mesh, params, tx)
+            params = jax.tree_util.tree_map(jax.device_put, params, psh)
+            opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, osh)
+        else:
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+        step = replicate(jnp.zeros((), jnp.int32), mesh)
+        occ = replicate(init_occupancy(s), mesh)
+        key = replicate(jax.random.PRNGKey(1), mesh)
+        ts = make_train_step(s, fc, ff, tx, mesh, param_template=params)
+        p, _, _, _, m = ts(params, opt_state, step, occ, key, batch)
+        return float(m["loss_total"]), np.asarray(p["model"]["table"]), p
+
+    l_rep, t_rep, _ = run(False)
+    l_tp, t_tp, p_tp = run(True)
+    assert l_rep == l_tp
+    np.testing.assert_array_equal(t_rep, t_tp)
+    spec = p_tp["model"]["table"].sharding.spec
+    assert tuple(spec) == (None, "data"), spec
