@@ -79,7 +79,8 @@ def main():
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--ns", type=int, default=16)
     p.add_argument("--ni", type=int, default=32)
-    p.add_argument("--occupancy", action="store_true", default=True)
+    p.add_argument("--occupancy", action=argparse.BooleanOptionalAction,
+                   default=True, help="--no-occupancy = uniform sampling arm")
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
 

@@ -22,8 +22,7 @@ import numpy as np
 from nerfjax.colmap.model_io import read_cameras_txt, read_images_txt, read_points3d_txt
 from nerfjax.colmap.normalize import (
     compute_near_far_bounds,
-    compute_percentile_bbox,
-    robust_bbox_computation,
+    normalize_with_reference_fallback,
     scene_normalization,
 )
 from nerfjax.colmap.outliers import filter_radius_outliers
@@ -252,30 +251,24 @@ def resolve_normalization(points, cfg, verbose: bool = True):
             pts = points
 
     method = cfg.get("normalization_method", None)
+    valid = (None, "original", "adaptive", "percentile", "statistical", "hybrid")
+    if method not in valid:
+        raise ValueError(
+            f"unknown normalization_method {method!r}; expected one of "
+            f"{[m for m in valid if m]}"
+        )
     if method in (None, "original"):
         scale, center = scene_normalization(pts, cfg)
         return scale, center, {"method": "original"}
 
-    try:
-        center, scale, info = robust_bbox_computation(
-            pts,
-            method=method,
-            target_retention=float(cfg.get("target_retention", 0.95)),
-            padding=float(cfg.percentile_bbox.get("padding", 0.1)),
-            nb_neighbors=int(cfg.get("outlier_nb_neighbors", 20)),
-            std_ratio=float(cfg.get("outlier_std_ratio", 2.0)),
-        )
-        if not info["normalization_success"]:
-            print("Warning: Normalization validation failed, trying fallback method...")
-            center, scale, info = robust_bbox_computation(
-                pts, method="adaptive", target_retention=0.9, padding=0.15
-            )
-    except Exception as e:  # noqa: BLE001 — reference behavior: degrade loudly
-        print(f"Error in robust normalization: {e}")
-        print("Falling back to simple percentile method...")
-        center, scale = compute_percentile_bbox(pts, lower=1.0, upper=99.0, padding=0.15)
-        info = {"method": "fallback", "error": str(e)}
-
+    center, scale, info = normalize_with_reference_fallback(
+        pts,
+        method=method,
+        target_retention=float(cfg.get("target_retention", 0.95)),
+        padding=float(cfg.percentile_bbox.get("padding", 0.1)),
+        nb_neighbors=int(cfg.get("outlier_nb_neighbors", 20)),
+        std_ratio=float(cfg.get("outlier_std_ratio", 2.0)),
+    )
     scale = float(scale) * float(cfg.get("scale", 1.0))
     return scale, center, info
 

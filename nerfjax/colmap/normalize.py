@@ -152,8 +152,10 @@ def robust_bbox_computation(
 
 
 def robust_bbox_with_fallback(points: np.ndarray, method: str = "hybrid", **kwargs):
-    """Fallback chain hybrid -> adaptive -> percentile when the self-check
-    fails (reference: normalize_with_aabb_improved.py:842-886 behavior)."""
+    """Fallback CHAIN hybrid -> adaptive -> percentile when the self-check
+    fails (the normalize_with_aabb.py variant's retry pattern). See also
+    normalize_with_reference_fallback for the _improved.py policy that the
+    colmap_to_nerf pipeline uses."""
     chain = [method] + [m for m in ("adaptive", "percentile") if m != method]
     last = None
     for m in chain:
@@ -163,6 +165,27 @@ def robust_bbox_with_fallback(points: np.ndarray, method: str = "hybrid", **kwar
             return last
         print(f"Normalization check failed for '{m}', trying fallback...")
     return last
+
+
+def normalize_with_reference_fallback(points: np.ndarray, method: str, **kwargs):
+    """The _improved.py fallback policy (normalize_with_aabb_improved.py:
+    838-886): run the requested strategy; if its <=2.1 self-check fails,
+    retry once with adaptive(target_retention=0.9, padding=0.15); if the
+    whole computation raises, degrade loudly to a simple 1/99 percentile
+    bbox. Returns (center, scale, info)."""
+    try:
+        center, scale, info = robust_bbox_computation(points, method=method, **kwargs)
+        if not info["normalization_success"]:
+            print("Warning: Normalization validation failed, trying fallback method...")
+            center, scale, info = robust_bbox_computation(
+                points, method="adaptive", target_retention=0.9, padding=0.15
+            )
+    except Exception as e:  # noqa: BLE001 — reference behavior: degrade loudly
+        print(f"Error in robust normalization: {e}")
+        print("Falling back to simple percentile method...")
+        center, scale = compute_percentile_bbox(points, lower=1.0, upper=99.0, padding=0.15)
+        info = {"method": "fallback", "error": str(e)}
+    return center, scale, info
 
 
 def compute_near_far_bounds(

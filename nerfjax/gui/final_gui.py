@@ -176,7 +176,14 @@ class FinalGui:
     def save_config(self):
         from tkinter import filedialog
 
-        cfg = generate_config_dict(self.gather_values())
+        # merge keys from a previously loaded YAML that have no creator
+        # widget (occupancy_grid, precision, hash_grad_corners, ...) so
+        # load -> edit -> save never silently drops them
+        extras = getattr(self, "_extra_values", {})
+        values = {**extras, **self.gather_values()}
+        cfg = generate_config_dict(values)
+        for k, v in extras.items():  # even keys the schema doesn't know
+            cfg.setdefault(k, v)
         path = filedialog.asksaveasfilename(
             defaultextension=".yml", initialfile=f"{cfg['scene_name']}.yml"
         )
@@ -192,6 +199,9 @@ class FinalGui:
         if not path:
             return
         values = values_from_config(load_config(path))
+        self._extra_values = {
+            k: v for k, v in values.items() if k not in self.cfg_vars
+        }
         for key, (var, kind) in self.cfg_vars.items():
             if key not in values or values[key] is None:
                 continue
@@ -403,10 +413,11 @@ class FinalGui:
         except ValueError:
             cap = 500_000
         if len(pts) > cap:
-            idx = np.random.default_rng(0).choice(len(pts), cap, replace=False)
+            visible = len(pts)  # after z-slice / AABB clip
+            idx = np.random.default_rng(0).choice(visible, cap, replace=False)
             pts, rgbs = pts[idx], rgbs[idx]
             self._log(
-                f"Showing {cap:,}/{len(self._points):,} points (raise 'max "
+                f"Showing {cap:,}/{visible:,} visible points (raise 'max "
                 "points' or use the VisPy window for the full cloud)"
             )
         self.ax.clear()

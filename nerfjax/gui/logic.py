@@ -91,6 +91,10 @@ def generate_config_dict(values: dict) -> dict:
         ("occ_resolution", int),
         ("occ_update_every", int),
         ("precision", str),
+        ("hash_grad_corners", int),
+        ("shard_hash_table", bool),
+        ("dist_last", float),
+        ("grad_clip", float),
     ):
         if key in values and values[key] is not None:
             cfg[key] = cast(values[key])

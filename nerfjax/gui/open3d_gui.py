@@ -22,10 +22,11 @@ from nerfjax.gui.logic import load_volume_any
 
 
 def _render_proc(points, rgbs, point_size):
-    """Child-process entry: block in the interactive viewer."""
+    """Child-process entry: block in the interactive viewer (uncapped —
+    this is the full-cloud hand-off target)."""
     from nerfjax.gui.viewers import display_pointcloud
 
-    display_pointcloud(points, rgbs, point_size=point_size)
+    display_pointcloud(points, rgbs, point_size=point_size, max_points=None)
 
 
 class PointCloudMinimalGUI:
@@ -98,12 +99,15 @@ class PointCloudMinimalGUI:
             return
 
         def worker():
+            # Tk variables are not thread-safe: marshal status updates onto
+            # the main loop with root.after.
             try:
                 pts, rgbs, _ = load_volume_any(path)
                 self._data = (pts, rgbs)
-                self.status.set(f"{len(pts):,} points — {path}")
+                msg = f"{len(pts):,} points — {path}"
             except Exception as e:  # noqa: BLE001 — surface in the panel
-                self.status.set(f"Load failed: {e}")
+                msg = f"Load failed: {e}"
+            self.root.after(0, lambda: self.status.set(msg))
 
         threading.Thread(target=worker, daemon=True).start()
 

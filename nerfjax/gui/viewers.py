@@ -24,11 +24,12 @@ def display_pointcloud(
 ):
     """Interactive scatter of a colored point cloud.
 
-    The vispy path renders the FULL cloud (GPU scatter handles millions of
-    points); the matplotlib fallback subsamples to max_points (None = no
-    cap there either)."""
+    max_points caps BOTH render paths (None = no cap — the vispy GPU
+    scatter handles millions of points; matplotlib degrades above ~1M)."""
     points = np.asarray(points)
     rgbs = np.clip(np.asarray(rgbs, np.float64), 0, 1)
+    if max_points is not None:
+        points, rgbs = _subsample(points, rgbs, max_points=max_points)
     try:
         from vispy import app, scene  # type: ignore
 
@@ -51,10 +52,7 @@ def display_pointcloud(
     matplotlib.use(matplotlib.get_backend())
     import matplotlib.pyplot as plt
 
-    if max_points is not None:
-        pts, cols = _subsample(points, rgbs, max_points=max_points)
-    else:
-        pts, cols = points, rgbs
+    pts, cols = points, rgbs
     fig = plt.figure(figsize=(8, 8))
     ax = fig.add_subplot(projection="3d")
     ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cols, s=point_size, marker=".")

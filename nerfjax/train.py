@@ -404,6 +404,10 @@ def train(
     start_time = time.time()
     rays_done = 0
     metrics_host = {}
+    # one-time fetch of the optimizer step (0 fresh, >0 on resume) so the
+    # logging path can track it host-side without further device syncs
+    step0 = int(jax.device_get(step))
+    host_steps = 0
 
     # Async checkpointing: snapshot params/opt_state with a cheap on-device
     # copy (the originals are donated into the next step), then fetch+write
@@ -442,6 +446,7 @@ def train(
                     params, opt_state, step, occ_grid, k_train, batch
                 )
                 rays_done += batch_size
+                host_steps += 1
 
                 if idx % log_every == 0:
                     metrics_host = {k: float(v) for k, v in metrics.items()}
@@ -456,12 +461,14 @@ def train(
                         f"Time: {elapsed:.2f}s | {rays_per_s:,.0f} rays/s |"
                     )
                     gstep = epoch * steps_per_epoch + idx
-                    # LR for TB from the host-side step counter, evaluated on
-                    # the CPU backend — no device fetch / TPU dispatch in the
-                    # logging path (each synced call costs ~30 ms through the
-                    # axon tunnel).
+                    # LR for TB from the host-side OPTIMIZER step count
+                    # (resume-aware via step0), evaluated on the CPU backend
+                    # — no device fetch / TPU dispatch in the logging path
+                    # (each synced call costs ~30 ms through the axon
+                    # tunnel).
+                    opt_step = step0 + host_steps
                     with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                        lr_now = float(sched(gstep - 1))
+                        lr_now = float(sched(opt_step - 1))
                     logger.scalars(
                         gstep,
                         {

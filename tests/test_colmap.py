@@ -328,3 +328,10 @@ def test_colmap_to_nerf_auto_posz(tmp_path):
     # the two variants differ by the target-axis sign: the flip maps both
     # into OpenGL, leaving mean forwards pointing opposite ways along z
     assert np.sign(fwd[2]) != np.sign(fwd_auto[2])
+
+
+def test_unknown_normalization_method_rejected(tmp_path):
+    cfg, _ = _make_colmap_scene(tmp_path)
+    cfg = cfg.merge({"normalization_method": "statisical"})  # typo
+    with pytest.raises(ValueError, match="normalization_method"):
+        colmap_to_nerf(cfg, mode="euler", verbose=False)
