@@ -61,8 +61,35 @@ class RayDataset:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(self.num_rays)
         end = (self.num_rays // batch_size) * batch_size if drop_last else self.num_rays
+
+        # Native one-pass parallel gather (the torch-DataLoader-worker role,
+        # reference train.py:209-217) when the arrays qualify; numpy fancy
+        # indexing otherwise. Both produce identical batches (tested).
+        native_arrays = None
+        if all(
+            isinstance(a, np.ndarray)
+            and a.dtype == np.float32
+            and a.flags["C_CONTIGUOUS"]
+            for a in (self.rays_o, self.rays_d, self.rgbs, self.t_near, self.t_far)
+        ):
+            native_arrays = {
+                "rays_o": self.rays_o,
+                "rays_d": self.rays_d,
+                "rgbs": self.rgbs,
+                "t_near": self.t_near,
+                "t_far": self.t_far,
+            }
+
         for start in range(0, end, batch_size):
             idx = perm[start : start + batch_size]
+            if native_arrays is not None:
+                from nerfjax.native import gather_ray_batch_native
+
+                batch = gather_ray_batch_native(native_arrays, idx)
+                if batch is not None:
+                    yield batch
+                    continue
+                native_arrays = None  # toolchain unavailable: numpy fallback
             yield {
                 "rays_o": np.ascontiguousarray(self.rays_o[idx]),
                 "rays_d": np.ascontiguousarray(self.rays_d[idx]),

@@ -82,6 +82,13 @@ def load():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.gather_ray_batch.argtypes = [
+            fp, fp, fp, fp, fp,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            fp, fp, fp, fp, fp,
+        ]
         _lib = lib
         return _lib
 
@@ -102,6 +109,50 @@ def knn_mean_distances_native(points, k: int):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def gather_ray_batch_native(arrays: dict, idx):
+    """One-pass parallel gather of a shuffled ray batch.
+
+    arrays: dict with contiguous float32 'rays_o'/'rays_d'/'rgbs' [n,3] and
+    't_near'/'t_far' [n] (in-RAM or memmapped). idx: [b] integer array.
+    Returns the batch dict (train-step key names) or None if the native
+    library is unavailable.
+    """
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    b = len(idx)
+    idx = np.ascontiguousarray(idx, np.int64)
+    o_out = np.empty((b, 3), np.float32)
+    d_out = np.empty((b, 3), np.float32)
+    rgb_out = np.empty((b, 3), np.float32)
+    tn_out = np.empty((b,), np.float32)
+    tf_out = np.empty((b,), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.gather_ray_batch(
+        arrays["rays_o"].ctypes.data_as(fp),
+        arrays["rays_d"].ctypes.data_as(fp),
+        arrays["rgbs"].ctypes.data_as(fp),
+        arrays["t_near"].ctypes.data_as(fp),
+        arrays["t_far"].ctypes.data_as(fp),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(b),
+        o_out.ctypes.data_as(fp),
+        d_out.ctypes.data_as(fp),
+        rgb_out.ctypes.data_as(fp),
+        tn_out.ctypes.data_as(fp),
+        tf_out.ctypes.data_as(fp),
+    )
+    return {
+        "rays_o": o_out,
+        "rays_d": d_out,
+        "rgb": rgb_out,
+        "t_near": tn_out,
+        "t_far": tf_out,
+    }
 
 
 def voxelize_native(points, rgbs, grid_size: int, fill: int = 255):

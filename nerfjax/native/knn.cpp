@@ -69,4 +69,24 @@ void voxelize_points(const float* pts, const float* rgbs, int64_t n, int g,
   }
 }
 
+// Gather one shuffled ray batch from the 5 dataset arrays in a single
+// OpenMP-parallel pass — the native data-loader role the reference filled
+// with torch DataLoader worker processes (reference: train.py:209-217).
+// With memmapped sources the parallel loop also overlaps page-in I/O.
+// o, d, rgb: [n,3] f32; tn, tf: [n] f32; idx: [b] int64.
+void gather_ray_batch(const float* o, const float* d, const float* rgb,
+                      const float* tn, const float* tf, const int64_t* idx,
+                      int64_t b, float* o_out, float* d_out, float* rgb_out,
+                      float* tn_out, float* tf_out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < b; ++i) {
+    const int64_t j = idx[i];
+    std::memcpy(o_out + 3 * i, o + 3 * j, 3 * sizeof(float));
+    std::memcpy(d_out + 3 * i, d + 3 * j, 3 * sizeof(float));
+    std::memcpy(rgb_out + 3 * i, rgb + 3 * j, 3 * sizeof(float));
+    tn_out[i] = tn[j];
+    tf_out[i] = tf[j];
+  }
+}
+
 }  // extern "C"

@@ -60,3 +60,50 @@ def test_native_speedup_is_real():
     knn_mean_distances(pts, 20)
     t_np = time.perf_counter() - t0
     assert t_nat < t_np, (t_nat, t_np)
+
+
+def test_gather_ray_batch_matches_numpy(tmp_path):
+    """The native data-loader gather must produce batches identical to the
+    numpy fancy-indexing path, for both in-RAM and memmapped sources."""
+    import numpy as np
+
+    from nerfjax.data import RayDataset
+    from nerfjax.native import gather_ray_batch_native, load
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    path = tmp_path / "rays.npz"
+    np.savez(
+        path,
+        rays_o=rng.normal(size=(n, 3)).astype(np.float32),
+        rays_d=rng.normal(size=(n, 3)).astype(np.float32),
+        rgbs=rng.uniform(size=(n, 3)).astype(np.float32),
+        t_near=rng.uniform(0, 1, n).astype(np.float32),
+        t_far=rng.uniform(2, 3, n).astype(np.float32),
+    )
+    if load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    for memmap in (False, True):
+        ds = RayDataset(path, use_memmap=memmap, verbose=False)
+        idx = rng.integers(0, n, size=256)
+        arrays = {
+            "rays_o": np.ascontiguousarray(ds.rays_o, np.float32),
+            "rays_d": np.ascontiguousarray(ds.rays_d, np.float32),
+            "rgbs": np.ascontiguousarray(ds.rgbs, np.float32),
+            "t_near": np.ascontiguousarray(ds.t_near, np.float32),
+            "t_far": np.ascontiguousarray(ds.t_far, np.float32),
+        }
+        batch = gather_ray_batch_native(arrays, idx)
+        np.testing.assert_array_equal(batch["rays_o"], ds.rays_o[idx])
+        np.testing.assert_array_equal(batch["rgb"], ds.rgbs[idx])
+        np.testing.assert_array_equal(batch["t_near"], ds.t_near[idx])
+
+    # epoch_batches (whatever path it picks) matches the pure-numpy gather
+    ds = RayDataset(path, verbose=False)
+    perm = np.random.default_rng(7).permutation(n)
+    got = next(iter(ds.epoch_batches(128, seed=7)))
+    np.testing.assert_array_equal(got["rays_o"], ds.rays_o[perm[:128]])
+    np.testing.assert_array_equal(got["t_far"], ds.t_far[perm[:128]])
