@@ -252,8 +252,12 @@ def test_table_sharded_train_step_matches_replicated():
         mesh,
     )
 
-    def run(shard):
+    def run(shard, grad_corners=8):
         s = dataclasses.replace(settings, shard_hash_table=shard)
+        if grad_corners != 8:
+            fck, ffk = (dataclasses.replace(fc, grad_corners=grad_corners),) * 2
+        else:
+            fck, ffk = fc, ff
         params = jax.tree_util.tree_map(jnp.asarray, params0)
         opt_state = jax.tree_util.tree_map(jnp.asarray, opt0)
         if shard:
@@ -266,7 +270,7 @@ def test_table_sharded_train_step_matches_replicated():
         step = replicate(jnp.zeros((), jnp.int32), mesh)
         occ = replicate(init_occupancy(s), mesh)
         key = replicate(jax.random.PRNGKey(1), mesh)
-        ts = make_train_step(s, fc, ff, tx, mesh, param_template=params)
+        ts = make_train_step(s, fck, ffk, tx, mesh, param_template=params)
         p, _, _, _, m = ts(params, opt_state, step, occ, key, batch)
         return float(m["loss_total"]), np.asarray(p["model"]["table"]), p
 
@@ -276,3 +280,9 @@ def test_table_sharded_train_step_matches_replicated():
     np.testing.assert_array_equal(t_rep, t_tp)
     spec = p_tp["model"]["table"].sharding.spec
     assert tuple(spec) == (None, "data"), spec
+
+    # the stochastic backward composes with the sharded table too
+    l_rep_s, t_rep_s, _ = run(False, grad_corners=2)
+    l_tp_s, t_tp_s, _ = run(True, grad_corners=2)
+    assert l_rep_s == l_tp_s
+    np.testing.assert_array_equal(t_rep_s, t_tp_s)
