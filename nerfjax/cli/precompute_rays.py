@@ -7,11 +7,14 @@ from nerfjax.rays import precompute_rays_for_scene, save_ray_data
 def main() -> None:
     args = cfg_parser("Precompute cube-intersecting rays for all frames").parse_args()
     cfg = load_cfg(args)
-    transforms = f"transforms_{cfg.scene_name}.json"
+    # cfg.transforms_json / cfg.rays_file default to exactly the reference's
+    # cwd-relative names (precompute_rays.py:195, base_cfg.yml), so honoring
+    # them is a compatible superset that also supports absolute paths.
+    transforms = cfg.get("transforms_json", f"transforms_{cfg.scene_name}.json")
     data = precompute_rays_for_scene(transforms)
     n = len(data["rays_o"])
     print(f"{n} rays with origins and directions.")
-    filename = f"{cfg.scene_name}_ray_data.npz"
+    filename = cfg.get("rays_file", f"{cfg.scene_name}_ray_data.npz")
     save_ray_data(data, filename)
     print(f"Saved rays data to {filename}.")
 
