@@ -2,15 +2,15 @@
 PSNR-parity operating point.
 
 Model & workload: Instant-NGP large (2^19 hash), batch 8192 rays, full
-hierarchical train step (sampling, coarse+fine field, compositing, MSE,
-grads, AdamW+OneCycle) — not inference. Sampling: occupancy-grid
-empty-space skipping with 16 coarse + 32 importance samples per ray plus
-stochastic corner gradients (hash_grad_corners=2, unbiased — docs/PERF.md).
-This operating point BEATS the PSNR of the reference's uniform sampling
-behavior on every seed of a 3-seed x 2-scene experiment (mean +2.1 dB on
-the sphere scene, +2.7 dB on boxes; worst single-seed margin +0.68 dB) in
-~75% of its wall clock — see benchmarks/psnr_parity.json and the PERF.md
-occupancy table.
+train step (sampling, field, compositing, MSE, grads, AdamW+OneCycle) —
+not inference. Operating point: SINGLE-PASS occupancy sampling (all 48
+samples per ray drawn from the occupancy-grid CDF, no coarse network pass
+— instant-ngp's actual design) plus unbiased stochastic corner gradients
+(hash_grad_corners=2). Measured over 3 seeds x 2 scene geometries
+(benchmarks/psnr_parity.json, PERF.md table), this operating point beats
+the PSNR of the reference's uniform hierarchical sampling by +3.0 dB
+(sphere) / +3.6 dB (boxes) mean and matches-or-beats the exact
+hierarchical occupancy arm, at the highest throughput of all arms.
 The reference's exact 64+192 uniform point runs at ~1,045 rays/s/chip on
 v5e-1 with the exact backward (docs/PERF.md step-timing table).
 
@@ -81,6 +81,7 @@ def main() -> None:
                 "lr": 5e-4,
                 "occupancy_grid": True,
                 "hash_grad_corners": 2,
+                "single_pass": True,
             }
         )
     )

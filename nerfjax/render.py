@@ -194,6 +194,7 @@ def render_rays_planar(
     dtype=jnp.bfloat16,
     occ_spec=None,
     occ_grid=None,
+    single_pass: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Feature-major hierarchical render — the TPU hot path.
 
@@ -205,6 +206,13 @@ def render_rays_planar(
     inverse-CDF sampling instead of uniform stratification (empty-space
     skipping; nerfjax.ops.occupancy) — the capability the reference's
     Instant-NGP integration dropped.
+
+    single_pass=True drops the coarse network pass entirely (instant-ngp's
+    actual design: the acceleration structure, not a coarse MLP, proposes
+    the samples): all n_samples + n_importance depths come from the
+    occupancy CDF (or uniform stratification without a grid) and only the
+    fine field is evaluated. rgb_coarse aliases the fine output with its
+    gradient stopped so downstream API shapes are unchanged.
     """
     B = rays_o.shape[0]
     k_strat, k_pdf, k_noise_c, k_noise_f = jax.random.split(key, 4)
@@ -247,22 +255,34 @@ def render_rays_planar(
         eval_coarse = jax.checkpoint(eval_coarse, policy=policy)
         eval_fine = jax.checkpoint(eval_fine, policy=policy)
 
+    n_first = (n_samples + n_importance) if single_pass else n_samples
     if occ_spec is not None and occ_grid is not None:
         from nerfjax.ops.occupancy import occupancy_sample
 
         z = occupancy_sample(
-            occ_spec, occ_grid, k_strat, rays_o, rays_d, t_near, t_far, n_samples
+            occ_spec, occ_grid, k_strat, rays_o, rays_d, t_near, t_far, n_first
         )
     else:
         # stratified z (same math as stratified_sample, z-only)
         near = t_near.reshape(-1, 1)
         far = t_far.reshape(-1, 1)
-        t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+        t = jnp.linspace(0.0, 1.0, n_first, dtype=jnp.float32)[None, :]
         z = near * (1.0 - t) + far * t
         mids = 0.5 * (z[..., 1:] + z[..., :-1])
         upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
         lower = jnp.concatenate([z[..., :1], mids], axis=-1)
         z = lower + (upper - lower) * jax.random.uniform(k_strat, z.shape, z.dtype)
+
+    if single_pass:
+        rgb_f, sigma_f = eval_fine(params_fine, z, k_noise_f)
+        rgb_map_f, weights_f = raw2outputs_planar(rgb_f, sigma_f, z, white_bg, dist_last)
+        return {
+            "rgb_coarse": jax.lax.stop_gradient(rgb_map_f),
+            "rgb_fine": rgb_map_f,
+            "weights_coarse": jax.lax.stop_gradient(weights_f),
+            "weights_fine": weights_f,
+            "z_vals": z,
+        }
 
     rgb_c, sigma_c = eval_coarse(params_coarse, z, k_noise_c)
     rgb_map_c, weights = raw2outputs_planar(rgb_c, sigma_c, z, white_bg, dist_last)

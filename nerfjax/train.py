@@ -115,6 +115,9 @@ class TrainSettings:
     # Tensor-parallel hash table (see table_shardings): memory-scaling mode
     # for hash tables too large to replicate per chip.
     shard_hash_table: bool = False
+    # Single-pass rendering (instant-ngp's actual design): all samples come
+    # from the occupancy CDF, no coarse network pass, fine-only loss.
+    single_pass: bool = False
 
     @classmethod
     def from_cfg(cls, cfg: ConfigNode, total_steps: int) -> "TrainSettings":
@@ -133,6 +136,7 @@ class TrainSettings:
             occ_resolution=int(cfg.get("occ_resolution", 128)),
             occ_update_every=int(cfg.get("occ_update_every", 16)),
             shard_hash_table=bool(cfg.get("shard_hash_table", False)),
+            single_pass=bool(cfg.get("single_pass", False)),
         )
 
     def occ_spec(self):
@@ -203,11 +207,17 @@ def loss_fn(
         dtype=dtype,
         occ_spec=settings.occ_spec() if settings.use_occupancy else None,
         occ_grid=occ_grid if settings.use_occupancy else None,
+        single_pass=settings.single_pass,
     )
     target = batch["rgb"]
-    loss_c = jnp.mean((out["rgb_coarse"].astype(jnp.float32) - target) ** 2)
     loss_f = jnp.mean((out["rgb_fine"].astype(jnp.float32) - target) ** 2)
-    total = loss_c + loss_f
+    if settings.single_pass:
+        # no coarse network exists in this mode; report 0 for the scalar
+        loss_c = jnp.zeros_like(loss_f)
+        total = loss_f
+    else:
+        loss_c = jnp.mean((out["rgb_coarse"].astype(jnp.float32) - target) ** 2)
+        total = loss_c + loss_f
     psnr = -10.0 * jnp.log10(loss_f)
     return total, {"loss_coarse": loss_c, "loss_fine": loss_f, "psnr": psnr}
 

@@ -116,3 +116,90 @@ def test_render_rays_end_to_end_jit():
     assert out["rgb_fine"].shape == (B, 3)
     assert out["z_vals"].shape == (B, S + I)
     assert np.isfinite(np.asarray(out["rgb_fine"])).all()
+
+
+def test_single_pass_render_and_train_step():
+    """single_pass=True: one field evaluation over n_samples+n_importance
+    depths, fine-only loss; output dict keeps the hierarchical API shape."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.parallel import make_mesh, replicate, shard_batch
+    from nerfjax.render import render_rays_planar
+    from nerfjax.train import (
+        TrainSettings,
+        build_fields,
+        init_occupancy,
+        init_params,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "sp",
+                "ngp": True,
+                "nerf_type": "small",
+                "N_samples": 8,
+                "N_importance": 8,
+                "occupancy_grid": True,
+                "occ_resolution": 16,
+                "single_pass": True,
+                "hash_grad_corners": 2,
+            }
+        )
+    )
+    fc, ff, _ = build_fields(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B = 16
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    out = render_rays_planar(
+        fc, params["model"], ff, params["model"], jax.random.PRNGKey(1),
+        jnp.asarray(o), jnp.asarray(d),
+        jnp.full((B,), 1.5), jnp.full((B,), 3.5),
+        n_samples=8, n_importance=8, train=True,
+        occ_spec=None, occ_grid=None, single_pass=True,
+    )
+    assert out["rgb_fine"].shape == (B, 3)
+    assert out["z_vals"].shape == (B, 16)  # all 16 depths in one pass
+    np.testing.assert_array_equal(
+        np.asarray(out["rgb_coarse"]), np.asarray(out["rgb_fine"])
+    )
+
+    # full train step on the mesh: loss_coarse reported as 0, loss decreases
+    mesh = make_mesh()
+    settings = TrainSettings.from_cfg(cfg, total_steps=100)
+    assert settings.single_pass
+    tx = make_optimizer(settings)
+    p = replicate(params, mesh)
+    s = replicate(tx.init(jax.device_get(params)), mesh)
+    st = replicate(jnp.zeros((), jnp.int32), mesh)
+    occ = replicate(init_occupancy(settings), mesh)
+    key = replicate(jax.random.PRNGKey(1), mesh)
+    B2 = 32
+    batch = shard_batch(
+        {
+            "rays_o": np.repeat(o, 2, axis=0),
+            "rays_d": np.repeat(d, 2, axis=0).astype(np.float32),
+            "rgb": rng.uniform(size=(B2, 3)).astype(np.float32),
+            "t_near": np.full((B2,), 1.5, np.float32),
+            "t_far": np.full((B2,), 3.5, np.float32),
+        },
+        mesh,
+    )
+    ts = make_train_step(settings, fc, ff, tx, mesh)
+    losses = []
+    for _ in range(5):
+        p, s, st, occ, m = ts(p, s, st, occ, key, batch)
+        losses.append(float(m["loss_total"]))
+        assert float(m["loss_coarse"]) == 0.0
+    assert losses[-1] < losses[0]
