@@ -66,11 +66,21 @@ class RayDataset:
         # reference train.py:209-217) when the arrays qualify; numpy fancy
         # indexing otherwise. Both produce identical batches (tested).
         native_arrays = None
-        if all(
-            isinstance(a, np.ndarray)
-            and a.dtype == np.float32
-            and a.flags["C_CONTIGUOUS"]
-            for a in (self.rays_o, self.rays_d, self.rgbs, self.t_near, self.t_far)
+        vec = (self.rays_o, self.rays_d, self.rgbs)
+        sca = (self.t_near, self.t_far)
+        if (
+            all(
+                isinstance(a, np.ndarray)
+                and a.dtype == np.float32
+                and a.flags["C_CONTIGUOUS"]
+                for a in vec + sca
+            )
+            # shape validation: the C kernel indexes all five arrays by the
+            # same row index with hardcoded strides — every array must have
+            # exactly num_rays rows and the vector arrays exactly 3 columns,
+            # or out-of-bounds reads replace the numpy path's IndexError.
+            and all(a.shape == (self.num_rays, 3) for a in vec)
+            and all(a.shape == (self.num_rays,) for a in sca)
         ):
             native_arrays = {
                 "rays_o": self.rays_o,

@@ -136,7 +136,7 @@ class TrainSettings:
             occ_resolution=int(cfg.get("occ_resolution", 128)),
             occ_update_every=int(cfg.get("occ_update_every", 16)),
             shard_hash_table=bool(cfg.get("shard_hash_table", False)),
-            single_pass=bool(cfg.get("single_pass", False)),
+            single_pass=_validated_single_pass(cfg),
         )
 
     def occ_spec(self):
@@ -145,6 +145,20 @@ class TrainSettings:
         return OccupancyGridSpec(
             resolution=self.occ_resolution, update_every=self.occ_update_every
         )
+
+
+def _validated_single_pass(cfg: ConfigNode) -> bool:
+    """single_pass requires the shared-NGP model: with vanilla's two
+    independent MLPs the coarse net would receive zero gradients while
+    weight decay shrinks it, yet hierarchical eval paths would still use it
+    to propose importance samples — silently broken renders."""
+    sp = bool(cfg.get("single_pass", False))
+    if sp and not cfg.get("ngp", True):
+        raise ValueError(
+            "single_pass: true requires ngp: true (the vanilla coarse MLP "
+            "would be left untrained but still used by hierarchical eval)"
+        )
+    return sp
 
 
 def make_schedule(s: TrainSettings) -> optax.Schedule:

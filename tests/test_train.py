@@ -286,3 +286,16 @@ def test_table_sharded_train_step_matches_replicated():
     l_tp_s, t_tp_s, _ = run(True, grad_corners=2)
     assert l_rep_s == l_tp_s
     np.testing.assert_array_equal(t_rep_s, t_tp_s)
+
+
+def test_single_pass_requires_ngp():
+    import pytest
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import TrainSettings
+
+    cfg = with_defaults(
+        ConfigNode({"scene_name": "x", "ngp": False, "single_pass": True})
+    )
+    with pytest.raises(ValueError, match="single_pass"):
+        TrainSettings.from_cfg(cfg, total_steps=100)
