@@ -14,6 +14,8 @@ wall-clock comparison):
                      validates that the 2x-faster backward holds PSNR
   * arm "spass2":    sgrad2 PLUS single_pass (all 48 samples from the
                      occupancy CDF, no coarse network pass)
+  * arm "spass1":    single_pass with hash_grad_corners=1 (maximum
+                     stochastic-gradient throughput)
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -50,7 +52,7 @@ EVAL_RAYS = 4096
 def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
     from nerfjax.config import ConfigNode, with_defaults
 
-    occupancy = arm in ("occupancy", "sgrad2", "spass2")
+    occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -65,8 +67,8 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
                 "N_importance": 32 if occupancy else 128,
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
-                "hash_grad_corners": 2 if arm in ("sgrad2", "spass2") else 8,
-                "single_pass": arm == "spass2",
+                "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1}.get(arm, 8),
+                "single_pass": arm in ("spass2", "spass1"),
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -154,7 +156,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--scene", choices=["sphere", "boxes"], default="sphere")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--arm", choices=["uniform", "occupancy", "sgrad2", "spass2"],
+    p.add_argument("--arm",
+                   choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1"],
                    default="uniform")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=2048)
@@ -170,7 +173,7 @@ def main() -> None:
         )
         for scene in ("sphere", "boxes"):
             for seed in (0, 1, 2):
-                for arm in ("uniform", "occupancy", "sgrad2", "spass2"):
+                for arm in ("uniform", "occupancy", "sgrad2", "spass2", "spass1"):
                     if (scene, seed, arm) in done:
                         print(f"skip {scene} s{seed} {arm} (done)")
                         continue
