@@ -16,6 +16,8 @@ wall-clock comparison):
                      occupancy CDF, no coarse network pass)
   * arm "spass1":    single_pass with hash_grad_corners=1 (maximum
                      stochastic-gradient throughput)
+  * arm "spass8":    single_pass with the EXACT backward — isolates the
+                     single-pass effect from gradient stochasticity
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -52,7 +54,7 @@ EVAL_RAYS = 4096
 def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
     from nerfjax.config import ConfigNode, with_defaults
 
-    occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1")
+    occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -68,7 +70,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
                 "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1}.get(arm, 8),
-                "single_pass": arm in ("spass2", "spass1"),
+                "single_pass": arm in ("spass2", "spass1", "spass8"),
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -157,7 +159,8 @@ def main() -> None:
     p.add_argument("--scene", choices=["sphere", "boxes"], default="sphere")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
-                   choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1"],
+                   choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
+                            "spass8"],
                    default="uniform")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=2048)
@@ -173,7 +176,8 @@ def main() -> None:
         )
         for scene in ("sphere", "boxes"):
             for seed in (0, 1, 2):
-                for arm in ("uniform", "occupancy", "sgrad2", "spass2", "spass1"):
+                for arm in ("uniform", "occupancy", "sgrad2", "spass2", "spass1",
+                            "spass8"):
                     if (scene, seed, arm) in done:
                         print(f"skip {scene} s{seed} {arm} (done)")
                         continue
