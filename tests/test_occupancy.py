@@ -125,3 +125,40 @@ def test_train_with_occupancy_improves(tmp_path):
     # grid was refreshed: no longer all ones
     g = np.asarray(jax.device_get(grid))
     assert g.std() > 0
+
+
+def test_occupancy_sample_sorted_and_in_range():
+    """Compositing assumes monotonically non-decreasing depths (dists =
+    diff(z) feeds alpha = 1-exp(-sigma*dist)); the single-pass op point
+    composites the occupancy samples directly, so this invariant is
+    load-bearing. Also: every depth stays inside [t_near, t_far]."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfjax.ops.occupancy import OccupancyGridSpec, init_grid, occupancy_sample
+
+    spec = OccupancyGridSpec(resolution=32, update_every=1)
+    rng = np.random.default_rng(0)
+    # half-empty grid: strong CDF concentration -> stresses the sort/range
+    grid = np.asarray(init_grid(spec))
+    g = rng.uniform(0, 1, size=grid.shape).astype(np.float32)
+    g[: g.size // 2] = 0.0
+    grid = jnp.asarray(g)
+
+    B = 256
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    tn = jnp.full((B,), 1.5)
+    tf = jnp.full((B,), 3.5)
+
+    z = np.asarray(
+        occupancy_sample(
+            spec, grid, jax.random.PRNGKey(0), jnp.asarray(o), jnp.asarray(d),
+            tn, tf, 48,
+        )
+    )
+    assert z.shape == (B, 48)
+    assert np.all(np.diff(z, axis=-1) >= 0), "depths must be sorted"
+    assert np.all(z >= 1.5 - 1e-5) and np.all(z <= 3.5 + 1e-5)
