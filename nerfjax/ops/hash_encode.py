@@ -183,6 +183,13 @@ def _hash_levels_bwd(spec, res, g):
     # shrinks by 8/k. Randomness derives from the position bits: sample
     # positions are re-jittered every training step, so draws decorrelate
     # across steps without threading an explicit key through the VJP.
+    # TRAIN-ONLY assumption: with a deterministic (un-jittered) sampler, or
+    # duplicate positions within a batch, the same corners are drawn every
+    # time and the estimator noise correlates across steps — use
+    # grad_corners=8 (exact) outside jittered training. In practice only
+    # train.build_fields sets k<8 (from cfg hash_grad_corners); every other
+    # constructor defaults to exact, and eval/render paths never call the
+    # VJP at all.
     idx = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
     w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
     cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0

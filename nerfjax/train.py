@@ -158,6 +158,15 @@ def _validated_single_pass(cfg: ConfigNode) -> bool:
             "single_pass: true requires ngp: true (the vanilla coarse MLP "
             "would be left untrained but still used by hierarchical eval)"
         )
+    if sp and not cfg.get("occupancy_grid", True):
+        # The mode's premise is that the occupancy CDF proposes the samples;
+        # without it the step silently degrades to pure uniform stratified
+        # sampling with no importance resampling at all.
+        raise ValueError(
+            "single_pass: true requires occupancy_grid: true (all samples "
+            "are drawn from the occupancy CDF; with the grid off there is "
+            "no proposal distribution and no importance sampling)"
+        )
     return sp
 
 
@@ -178,6 +187,35 @@ def make_schedule(s: TrainSettings) -> optax.Schedule:
         div_factor=10.0,
         final_div_factor=100.0,
     )
+
+
+def onecycle_lr_host(s: TrainSettings, count: int) -> float:
+    """Closed-form host-side twin of :func:`make_schedule` — pure Python, no
+    device dispatch (the logging path must not touch a backend: under
+    JAX_PLATFORMS=axon there is no CPU backend to borrow, and a TPU dispatch
+    costs ~30 ms through the tunnel). Matches
+    optax.cosine_onecycle_schedule's piecewise-cosine exactly (its
+    `_cosine_interpolate(a, b, pct) = b + 0.5*(a-b)*(cos(pi*pct)+1)`);
+    equality with the optax schedule is asserted in tests/test_train.py."""
+    import math
+
+    if not s.onecycle or s.total_steps < 10:
+        return s.lr
+    peak = s.lr * 10.0
+    init = peak / 10.0
+    final = init / 100.0
+    b1 = int(0.1 * s.total_steps)
+    b2 = s.total_steps
+    count = max(int(count), 0)
+    if count >= b2:
+        return final
+
+    def interp(a: float, b: float, pct: float) -> float:
+        return b + 0.5 * (a - b) * (math.cos(math.pi * pct) + 1.0)
+
+    if count < b1:
+        return interp(init, peak, count / b1)
+    return interp(peak, final, (count - b1) / (b2 - b1))
 
 
 def make_optimizer(s: TrainSettings) -> optax.GradientTransformation:
@@ -314,19 +352,23 @@ def table_shardings(mesh, param_template, tx):
 
     repl = replicated_sharding(mesh)
     table_sh = NamedSharding(mesh, P(None, DATA_AXIS))
-    table_shapes = {
-        v.shape
-        for field in param_template.values()
-        for k, v in field.items()
-        if k == "table"
-    }
 
-    def leaf(x):
-        return table_sh if x.shape in table_shapes else repl
+    def _is_table_path(path) -> bool:
+        # Match by tree path, not by shape: an unrelated leaf that happens
+        # to be [2, T]-shaped must stay replicated. The AdamW moments mirror
+        # the param tree, so the same path test covers the optimizer state.
+        for entry in path:
+            key = getattr(entry, "key", getattr(entry, "name", None))
+            if key == "table":
+                return True
+        return False
 
-    psh = jax.tree_util.tree_map(leaf, param_template)
+    def leaf(path, x):
+        return table_sh if _is_table_path(path) else repl
+
+    psh = jax.tree_util.tree_map_with_path(leaf, param_template)
     opt_template = jax.eval_shape(tx.init, param_template)
-    oshard = jax.tree_util.tree_map(leaf, opt_template)
+    oshard = jax.tree_util.tree_map_with_path(leaf, opt_template)
     return psh, oshard
 
 
@@ -461,7 +503,6 @@ def train(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    sched = make_schedule(settings)
     try:
         for epoch in range(start_epoch, num_epochs + 1):
             batches = dataset.epoch_batches(batch_size, seed=seed * 100003 + epoch)
@@ -486,13 +527,10 @@ def train(
                     )
                     gstep = epoch * steps_per_epoch + idx
                     # LR for TB from the host-side OPTIMIZER step count
-                    # (resume-aware via step0), evaluated on the CPU backend
-                    # — no device fetch / TPU dispatch in the logging path
-                    # (each synced call costs ~30 ms through the axon
-                    # tunnel).
+                    # (resume-aware via step0), computed closed-form — no
+                    # backend touch at all in the logging path.
                     opt_step = step0 + host_steps
-                    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                        lr_now = float(sched(opt_step - 1))
+                    lr_now = onecycle_lr_host(settings, opt_step - 1)
                     logger.scalars(
                         gstep,
                         {

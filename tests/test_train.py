@@ -299,3 +299,82 @@ def test_single_pass_requires_ngp():
     )
     with pytest.raises(ValueError, match="single_pass"):
         TrainSettings.from_cfg(cfg, total_steps=100)
+
+
+def test_single_pass_requires_occupancy():
+    from nerfjax.train import TrainSettings
+
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "x",
+                "ngp": True,
+                "single_pass": True,
+                "occupancy_grid": False,
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="occupancy_grid"):
+        TrainSettings.from_cfg(cfg, total_steps=100)
+
+
+def test_onecycle_lr_host_matches_optax():
+    from nerfjax.train import onecycle_lr_host
+
+    for total in (10, 100, 1000, 12345):
+        s = TrainSettings(lr=5e-4, total_steps=total)
+        sched = make_schedule(s)
+        counts = sorted(
+            {0, 1, total // 10 - 1, total // 10, total // 10 + 1,
+             total // 2, total - 1, total, total + 5}
+        )
+        for c in counts:
+            got = onecycle_lr_host(s, c)
+            want = float(sched(c))
+            # optax evaluates its cosine in float32; allow that rounding
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-9), (
+                total, c, got, want)
+    # constant-schedule branches
+    s = TrainSettings(lr=5e-4, total_steps=5)
+    assert onecycle_lr_host(s, 3) == pytest.approx(float(make_schedule(s)(3)))
+    s = TrainSettings(lr=5e-4, total_steps=100, onecycle=False)
+    assert onecycle_lr_host(s, 42) == pytest.approx(5e-4)
+
+
+def test_table_shardings_match_by_path_not_shape():
+    """A decoy leaf with the same [2, T] shape as the hash table must stay
+    replicated; only path-keyed 'table' leaves (and their optimizer moments)
+    shard along the mesh axis."""
+    import optax
+
+    from nerfjax.train import table_shardings
+
+    mesh = make_mesh()
+    table = jnp.zeros((2, 64), jnp.float32)
+    params = {
+        "model": {
+            "table": table,
+            "decoy_same_shape": jnp.ones((2, 64), jnp.float32),
+            "w": jnp.zeros((4, 4), jnp.float32),
+        }
+    }
+    tx = optax.adamw(1e-3)
+    psh, oshard = table_shardings(mesh, params, tx)
+    from nerfjax.parallel import replicated_sharding
+
+    repl = replicated_sharding(mesh)
+    assert psh["model"]["decoy_same_shape"] == repl
+    assert psh["model"]["w"] == repl
+    assert psh["model"]["table"] != repl
+    # optimizer moments follow the same path rule
+    leaves, _ = jax.tree_util.tree_flatten_with_path(oshard)
+    saw_table_moment = saw_decoy_moment = False
+    for path, sh in leaves:
+        keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "table" in keys:
+            assert sh != repl
+            saw_table_moment = True
+        elif "decoy_same_shape" in keys:
+            assert sh == repl
+            saw_decoy_moment = True
+    assert saw_table_moment and saw_decoy_moment
