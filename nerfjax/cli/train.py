@@ -6,6 +6,7 @@ grad-clip 1.0 (reference deltas: train_no_amp.py:84,313-316).
 """
 
 from nerfjax.cli._common import cfg_parser, load_cfg
+from nerfjax.parallel import init_distributed
 from nerfjax.train import train
 
 
@@ -16,6 +17,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--profile_dir", type=str, default=None)
     args = p.parse_args()
+    # Multi-host pods: no-op unless NERFJAX_COORDINATOR/NERFJAX_NUM_PROCESSES
+    # /NERFJAX_PROCESS_ID (or NERFJAX_DISTRIBUTED=1 for auto-detection) are
+    # set, in which case the same CLI trains over the global pod mesh.
+    init_distributed()
     cfg = load_cfg(args)
     if args.fp32:
         cfg = cfg.merge({"precision": "fp32", "dist_last": 1e6, "grad_clip": 1.0})

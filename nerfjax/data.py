@@ -51,16 +51,39 @@ class RayDataset:
         return self.num_rays
 
     def epoch_batches(
-        self, batch_size: int, seed: int, drop_last: bool = True
+        self,
+        batch_size: int,
+        seed: int,
+        drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[dict[str, np.ndarray]]:
         """Shuffled full-epoch batch iterator (host-side).
 
         drop_last=True keeps shapes static so the jitted train step never
         recompiles (the reference instead ran a ragged final batch).
+
+        Multi-host: every process calls with the same seed (identical
+        global permutation) and its own (process_index, process_count);
+        each yields only its contiguous block of every global batch —
+        rows [p*B/nproc, (p+1)*B/nproc) — matching the process-major
+        device order of the 1-D data mesh. No host gathers the full batch.
         """
+        if batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{process_count}"
+            )
+        if process_count > 1 and not drop_last:
+            raise ValueError(
+                "multi-host batching requires drop_last=True (a ragged "
+                "final batch cannot be block-sliced across processes)"
+            )
         rng = np.random.default_rng(seed)
         perm = rng.permutation(self.num_rays)
         end = (self.num_rays // batch_size) * batch_size if drop_last else self.num_rays
+        block = batch_size // process_count
+        lo = process_index * block
 
         # Native one-pass parallel gather (the torch-DataLoader-worker role,
         # reference train.py:209-217) when the arrays qualify; numpy fancy
@@ -91,7 +114,7 @@ class RayDataset:
             }
 
         for start in range(0, end, batch_size):
-            idx = perm[start : start + batch_size]
+            idx = perm[start + lo : start + lo + block]
             if native_arrays is not None:
                 from nerfjax.native import gather_ray_batch_native
 

@@ -5,6 +5,11 @@ from nerfjax.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from nerfjax.parallel.distributed import (
+    init_distributed,
+    process_batch_slice,
+    put_process_local,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +17,7 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "replicated_sharding",
+    "init_distributed",
+    "process_batch_slice",
+    "put_process_local",
 ]

@@ -23,7 +23,14 @@ DATA_AXIS = "data"
 
 
 def make_mesh(devices: list | None = None, axis: str = DATA_AXIS) -> Mesh:
-    """1-D mesh over all local devices (or an explicit device list)."""
+    """1-D mesh over all GLOBAL devices (or an explicit device list).
+
+    ``jax.devices()`` spans every process once
+    :func:`nerfjax.parallel.init_distributed` has run, so the same call
+    builds a pod-wide mesh on multi-host and a local mesh on one host.
+    Device order is process-major, which is what
+    ``process_batch_slice`` relies on for contiguous per-host blocks.
+    """
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis,))
@@ -39,15 +46,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Put a host batch onto the mesh, dim-0-sharded across devices."""
+    """Put a host batch onto the mesh, dim-0-sharded across devices.
+
+    Multi-process: ``batch`` is this process's contiguous block (see
+    ``process_batch_slice``) and the global array is assembled from the
+    per-process pieces without any host seeing the whole batch.
+    """
+    from nerfjax.parallel.distributed import put_process_local
+
     sh = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return put_process_local(batch, jax.tree_util.tree_map(lambda _: sh, batch))
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params, opt state) on every device of the mesh."""
+    """Replicate a pytree (params, opt state) on every device of the mesh.
+
+    Multi-process: every process must pass the same host values (same
+    init seed / same restored checkpoint).
+    """
+    from nerfjax.parallel.distributed import put_process_local
+
     sh = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return put_process_local(tree, jax.tree_util.tree_map(lambda _: sh, tree))
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -60,6 +60,12 @@ def build_fields(cfg: ConfigNode):
         field = InstantNGP(
             nerf_type=cfg.get("nerf_type", "large"),
             grad_corners=int(cfg.get("hash_grad_corners", 8)),
+            # Tuned op point (Parity+): fewer levels drop the finest hash
+            # grids (16 levels reach res ~7000^3 — far beyond the 512^3
+            # volume this pipeline ever extracts) and shrink the gather/
+            # scatter volume that dominates the v5e step (docs/PERF.md).
+            n_levels=int(cfg.get("hash_n_levels", 16)),
+            per_level_scale=float(cfg.get("hash_per_level_scale", 1.5)),
         )
         return field, field, True
     field = VanillaNeRF(
@@ -406,14 +412,24 @@ def train(
 
     if mesh is None:
         mesh = make_mesh()
+    # Multi-host: process 0 owns all printing, TB logging, and checkpoint
+    # writes; every process runs the identical step sequence (and must
+    # participate in the pre-save all-gather collective below).
+    pi, pc = jax.process_index(), jax.process_count()
+    is_lead = pi == 0
 
     output_dir = Path(cfg.output_dir)
     checkpoint_dir = Path(cfg.checkpoint_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    if is_lead:
+        output_dir.mkdir(parents=True, exist_ok=True)
+        checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
-    logger = Logger(output_dir / "logs")
-    dataset = RayDataset(cfg.rays_file, use_memmap=bool(cfg.get("use_memmap", False)))
+    logger = Logger(output_dir / "logs") if is_lead else None
+    dataset = RayDataset(
+        cfg.rays_file,
+        use_memmap=bool(cfg.get("use_memmap", False)),
+        verbose=is_lead,
+    )
 
     batch_size = int(cfg.batch_size)
     num_epochs = int(cfg.num_epochs)
@@ -439,16 +455,21 @@ def train(
             )
             start_epoch = restored_epoch + 1
             step = jnp.asarray(restored_epoch * steps_per_epoch, jnp.int32)
-            print(f"Resumed from {latest} at epoch {restored_epoch}")
+            if is_lead:
+                print(f"Resumed from {latest} at epoch {restored_epoch}")
 
     n_field_params = sum(
         int(x.size) for x in jax.tree_util.tree_leaves(params)
     )
-    print(f"NERF: {n_field_params * 1e-6:.3f}M")
-    print(f"Devices: {len(mesh.devices.ravel())} ({mesh.devices.ravel()[0].platform})")
-    print(f"White background: {settings.white_bg}")
-    print(f"Starting training for {num_epochs} epochs")
-    print(f"Total steps: {total_steps}")
+    if is_lead:
+        print(f"NERF: {n_field_params * 1e-6:.3f}M")
+        print(
+            f"Devices: {len(mesh.devices.ravel())} "
+            f"({mesh.devices.ravel()[0].platform}), {pc} process(es)"
+        )
+        print(f"White background: {settings.white_bg}")
+        print(f"Starting training for {num_epochs} epochs")
+        print(f"Total steps: {total_steps}")
 
     occ_grid = init_occupancy(settings)
 
@@ -482,11 +503,33 @@ def train(
 
     save_threads: list[threading.Thread] = []
 
-    def save_async(path: Path, epoch_num: int) -> None:
+    def _save_snapshot():
+        """On-device snapshot; in multi-host runs the snapshot is forced
+        fully-replicated (a collective all processes run) so process 0 can
+        fetch TP-sharded tables to host."""
+        if pc > 1:
+            repl = replicated_sharding(mesh)
+            to_repl = jax.jit(
+                lambda p, o: (p, o),
+                out_shardings=(
+                    jax.tree_util.tree_map(lambda _: repl, params),
+                    jax.tree_util.tree_map(
+                        lambda x: repl if hasattr(x, "dtype") else None,
+                        opt_state,
+                    ),
+                ),
+            )
+            return to_repl(params, opt_state)
         snap_p = jax.tree_util.tree_map(lambda x: x + 0, params)
         snap_o = jax.tree_util.tree_map(
             lambda x: x + 0 if hasattr(x, "dtype") else x, opt_state
         )
+        return snap_p, snap_o
+
+    def save_async(path: Path, epoch_num: int) -> None:
+        snap_p, snap_o = _save_snapshot()
+        if not is_lead:
+            return
 
         def worker():
             # Write to a temp name and rename: if the process dies mid-write
@@ -505,7 +548,12 @@ def train(
 
     try:
         for epoch in range(start_epoch, num_epochs + 1):
-            batches = dataset.epoch_batches(batch_size, seed=seed * 100003 + epoch)
+            batches = dataset.epoch_batches(
+                batch_size,
+                seed=seed * 100003 + epoch,
+                process_index=pi,
+                process_count=pc,
+            )
             for idx, batch in enumerate(prefetch_to_device(batches, mesh)):
                 params, opt_state, step, occ_grid, metrics = train_step(
                     params, opt_state, step, occ_grid, k_train, batch
@@ -513,7 +561,7 @@ def train(
                 rays_done += batch_size
                 host_steps += 1
 
-                if idx % log_every == 0:
+                if idx % log_every == 0 and is_lead:
                     metrics_host = {k: float(v) for k, v in metrics.items()}
                     elapsed = time.time() - start_time
                     rays_per_s = rays_done / max(elapsed, 1e-9)
@@ -554,15 +602,18 @@ def train(
             t.join()
 
     final_path = checkpoint_dir / "nerf_final.pth"
-    ckpt.save_train_state(final_path, cfg, params, opt_state, num_epochs)
+    snap_p, snap_o = _save_snapshot()  # collective in multi-host runs
+    if is_lead:
+        ckpt.save_train_state(final_path, cfg, snap_p, snap_o, num_epochs)
     total_time = time.time() - start_time
-    print(f"Saved final models to {final_path}")
-    print(f"Training completed in {total_time:.2f}s")
-    print("Training completed.")
-    logger.close()
+    if is_lead:
+        print(f"Saved final models to {final_path}")
+        print(f"Training completed in {total_time:.2f}s")
+        print("Training completed.")
+        logger.close()
 
     return {
-        "params": jax.device_get(params),
+        "params": jax.device_get(snap_p),
         "metrics": metrics_host,
         "total_time": total_time,
         "rays_per_sec": rays_done / max(total_time, 1e-9),
