@@ -6,7 +6,8 @@ Rationale: the 16-level reference config tops out at res ~7000^3
 extracts; levels 12-15 are pure gather/scatter volume (4 of the 11 hashed
 levels ~= 36% of the index traffic that dominates the step — docs/PERF.md).
 
-Usage: python benchmarks/micro_levels.py [n_levels ...]
+Usage: python benchmarks/micro_levels.py [arm ...] where arm is
+"<n_levels>" or "<n_levels>ed<extra_dense_levels>" (e.g. 12ed1).
 Appends rows to benchmarks/out/micro_levels.json.
 """
 
@@ -25,7 +26,7 @@ sys.path.insert(0, str(HERE.parent))
 BATCH = 8192
 
 
-def measure(n_levels: int, steps: int = 10) -> dict:
+def measure(n_levels: int, extra_dense: int = 0, steps: int = 10) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -56,6 +57,7 @@ def measure(n_levels: int, steps: int = 10) -> dict:
                 "hash_grad_corners": 2,
                 "single_pass": True,
                 "hash_n_levels": n_levels,
+                "hash_extra_dense_levels": extra_dense,
             }
         )
     )
@@ -103,6 +105,7 @@ def measure(n_levels: int, steps: int = 10) -> dict:
     dt = (time.perf_counter() - t0) / steps
     return {
         "n_levels": n_levels,
+        "extra_dense": extra_dense,
         "params_M": round(n_params / 1e6, 2),
         "step_s": round(dt, 4),
         "rays_per_s_chip": round(BATCH / dt, 1),
@@ -113,13 +116,17 @@ def main() -> None:
     from nerfjax.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    levels = [int(a) for a in sys.argv[1:]] or [16, 14, 12]
+    arms = sys.argv[1:] or ["16", "14", "12"]
     out_path = HERE / "out" / "micro_levels.json"
     rows = []
     if out_path.exists():
         rows = json.loads(out_path.read_text())
-    for lv in levels:
-        row = measure(lv)
+    for arm in arms:
+        if "ed" in arm:
+            lv, ed = arm.split("ed")
+            row = measure(int(lv), int(ed))
+        else:
+            row = measure(int(arm))
         print(json.dumps(row))
         rows.append(row)
         out_path.write_text(json.dumps(rows, indent=2) + "\n")

@@ -18,6 +18,9 @@ wall-clock comparison):
                      stochastic-gradient throughput)
   * arm "spass8":    single_pass with the EXACT backward — isolates the
                      single-pass effect from gradient stochasticity
+  * arm "spass12L":  spass2 with hash_n_levels=12 (drops the 4 finest hash
+                     levels, whose res exceeds any extractable detail) —
+                     validates the round-3 throughput op point holds PSNR
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -51,17 +54,19 @@ EVAL_SEED = 9999
 EVAL_RAYS = 4096
 
 
-def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
+def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
+         nerf_type: str = "medium"):
     from nerfjax.config import ConfigNode, with_defaults
 
-    occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8")
+    occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
+                        "spass12L")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
             {
                 "scene_name": tag,
                 "ngp": True,
-                "nerf_type": "medium",
+                "nerf_type": nerf_type,
                 "batch_size": batch,
                 "num_epochs": steps // STEPS_PER_EPOCH,
                 "lr": 5e-4,
@@ -69,8 +74,10 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path):
                 "N_importance": 32 if occupancy else 128,
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
-                "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1}.get(arm, 8),
-                "single_pass": arm in ("spass2", "spass1", "spass8"),
+                "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1,
+                                      "spass12L": 2}.get(arm, 8),
+                "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L"),
+                "hash_n_levels": 12 if arm == "spass12L" else 16,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -120,15 +127,18 @@ def _eval_psnr(cfg, params, scene: str) -> float:
     return -10.0 * float(np.log10(mse))
 
 
-def run_one(scene: str, seed: int, arm: str, steps: int, batch: int) -> dict:
+def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
+            nerf_type: str = "medium") -> dict:
     from nerfjax.train import train
     from nerfjax.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
     tag = f"{scene}_s{seed}_{arm}"
+    if nerf_type != "medium":
+        tag = f"{tag}_{nerf_type}_b{batch}"
     rays = _ensure_rays(scene, batch * STEPS_PER_EPOCH, seed)
-    cfg = _cfg(tag, arm, batch, steps, rays)
+    cfg = _cfg(tag, arm, batch, steps, rays, nerf_type=nerf_type)
     t0 = time.perf_counter()
     result = train(cfg, seed=seed, log_every=100)
     wall = time.perf_counter() - t0
@@ -137,6 +147,7 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int) -> dict:
         "scene": scene,
         "seed": seed,
         "arm": arm,
+        "nerf_type": nerf_type,
         "steps": steps,
         "batch": batch,
         "wall_s": round(wall, 1),
@@ -147,7 +158,13 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int) -> dict:
     existing = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
     existing = [
         r for r in existing
-        if not (r["scene"] == scene and r["seed"] == seed and r["arm"] == arm)
+        if not (
+            r["scene"] == scene
+            and r["seed"] == seed
+            and r["arm"] == arm
+            and r.get("nerf_type", "medium") == nerf_type
+            and r.get("batch", 2048) == batch
+        )
     ]
     existing.append(row)
     RESULTS.write_text(json.dumps(existing, indent=2) + "\n")
@@ -160,8 +177,10 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
-                            "spass8"],
+                            "spass8", "spass12L"],
                    default="uniform")
+    p.add_argument("--nerf-type", choices=["small", "medium", "large"],
+                   default="medium")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--uniform-steps", type=int, default=200)
@@ -192,7 +211,8 @@ def main() -> None:
     steps = args.steps or (
         args.uniform_steps if args.arm == "uniform" else 3 * args.uniform_steps
     )
-    run_one(args.scene, args.seed, args.arm, steps, args.batch)
+    run_one(args.scene, args.seed, args.arm, steps, args.batch,
+            nerf_type=args.nerf_type)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,13 @@ class HashGridSpec:
     # cost ~8x at the price of per-step gradient noise. Forward is always
     # exact.
     grad_corners: int = 8
+    # Promote the first E would-be-hashed levels to DENSE storage (their
+    # full res^3 table instead of 2^log2 hashed slots). Model change
+    # (opt-in, grows the table): the promoted level loses hash collisions
+    # AND moves from 8 width-1 gathers/point to 1 width-16 cell-row gather
+    # with a scatter-free backward (nerfjax.ops.hash_encode) — a v5e
+    # throughput lever, since gather/scatter issue rate bounds the step.
+    extra_dense_levels: int = 0
 
     @property
     def hashmap_size(self) -> int:
@@ -62,6 +69,7 @@ class HashGridSpec:
         """Static per-level metadata: scale, resolution, table size, offset."""
         out = []
         offset = 0
+        promoted = 0
         for l in range(self.n_levels):
             scale = self.base_resolution * (self.per_level_scale**l) - 1.0
             res = int(np.ceil(scale)) + 1
@@ -69,6 +77,9 @@ class HashGridSpec:
             # tcnn aligns per-level tables to a multiple of 8 entries.
             dense_size = -(-dense_size // 8) * 8
             use_hash = dense_size > self.hashmap_size
+            if use_hash and promoted < self.extra_dense_levels:
+                use_hash = False  # promoted to dense (see extra_dense_levels)
+                promoted += 1
             size = self.hashmap_size if use_hash else dense_size
             out.append(
                 {
@@ -217,6 +228,7 @@ class InstantNGP:
     hidden: int = 64
     geo_feat_dim: int = 16
     grad_corners: int = 8  # see HashGridSpec.grad_corners
+    extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
     @property
     def spec(self) -> HashGridSpec:
@@ -229,6 +241,7 @@ class InstantNGP:
             base_resolution=self.base_resolution,
             per_level_scale=self.per_level_scale,
             grad_corners=self.grad_corners,
+            extra_dense_levels=self.extra_dense_levels,
         )
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> Params:

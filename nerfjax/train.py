@@ -66,6 +66,7 @@ def build_fields(cfg: ConfigNode):
             # scatter volume that dominates the v5e step (docs/PERF.md).
             n_levels=int(cfg.get("hash_n_levels", 16)),
             per_level_scale=float(cfg.get("hash_per_level_scale", 1.5)),
+            extra_dense_levels=int(cfg.get("hash_extra_dense_levels", 0)),
         )
         return field, field, True
     field = VanillaNeRF(

@@ -220,3 +220,41 @@ def test_grad_corners_flows_from_cfg():
                                     "hash_grad_corners": 2}))
     fc, _, _ = build_fields(cfg)
     assert fc.spec.grad_corners == 2
+
+
+def test_extra_dense_level_promotion_matches_oracle():
+    """extra_dense_levels=1 promotes the first would-be-hashed level to a
+    full res^3 dense table (collision-free, cell-row gathers, scatter-free
+    backward). Fast path must still match the jnp oracle, which shares the
+    same level_params and therefore the same promoted layout."""
+    spec = HashGridSpec(log2_hashmap_size=15, extra_dense_levels=1)
+    base = HashGridSpec(log2_hashmap_size=15)
+    assert spec.total_table_size > base.total_table_size
+    lp_base = base.level_params()
+    lp = spec.level_params()
+    flipped = [i for i in range(len(lp)) if lp[i]["use_hash"] != lp_base[i]["use_hash"]]
+    assert len(flipped) == 1
+    i = flipped[0]
+    assert not lp[i]["use_hash"] and lp[i]["size"] >= lp[i]["res"] ** 3
+
+    k = jax.random.PRNGKey(0)
+    planes = jax.random.normal(k, (2, spec.total_table_size), jnp.float32) * 0.1
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (129, 3))
+    ref = hashgrid_encode(spec, planes, x01)
+    fast = hash_encode_planar(
+        spec, planes, x01[:, 0], x01[:, 1], x01[:, 2], dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.T), np.asarray(ref), atol=2e-3, rtol=2e-2
+    )
+
+    # gradient flows into the promoted level's dense slice (scatter-free path)
+    def loss_fast(p):
+        enc = hash_encode_planar(
+            spec, p, x01[:, 0], x01[:, 1], x01[:, 2], dtype=jnp.float32
+        )
+        return jnp.sum(enc**2)
+
+    g = jax.grad(loss_fast)(planes)
+    sl = slice(lp[i]["offset"], lp[i]["offset"] + lp[i]["size"])
+    assert float(jnp.sum(jnp.abs(g[:, sl]))) > 0

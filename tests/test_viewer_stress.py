@@ -1,0 +1,88 @@
+"""Viewer logic at real 512^3-extraction scale (tens of millions of points).
+
+The reference viewers load full volume.pth files of 512^3 extractions
+(reference final_gui.py:343-415); this drives nerfjax's toolkit-free logic
+layer — load_volume_any -> slice_z -> clip_aabb_band -> the display cap
+sampling final_gui applies before scatter — on a ~20M-point volume, with
+wall-time and peak-RSS recorded (numbers quoted in docs/PERF.md).
+"""
+
+from __future__ import annotations
+
+import resource
+import time
+
+import numpy as np
+import pytest
+
+from nerfjax import pth
+from nerfjax.gui.logic import clip_aabb_band, load_volume_any, slice_z
+
+
+def _rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+@pytest.mark.slow
+def test_viewer_logic_at_512_extraction_scale(tmp_path):
+    R = 512
+    t0 = time.perf_counter()
+    # thick spherical shell, ~20M occupied voxels of the 134M grid
+    ax = (np.arange(R, dtype=np.int64) - R // 2) ** 2
+    d2 = ax[:, None, None] + ax[None, :, None] + ax[None, None, :]
+    occ = ((d2 >= int((0.20 * R) ** 2)) & (d2 <= int((0.34 * R) ** 2))).astype(
+        np.uint8
+    )
+    n_occ = int(occ.sum())
+    assert n_occ > 10_000_000, n_occ  # "tens of millions" scale
+    rgb = np.empty((R, R, R, 3), np.uint8)
+    rgb[..., 0] = np.arange(R, dtype=np.uint8)[:, None, None]
+    rgb[..., 1] = np.arange(R, dtype=np.uint8)[None, :, None]
+    rgb[..., 2] = 128
+    build_s = time.perf_counter() - t0
+
+    path = tmp_path / "volume.pth"
+    t0 = time.perf_counter()
+    pth.save(
+        {
+            "occupancy_volume": occ,
+            "rgb_volume": rgb,
+            "metadata": {"resolution": R, "bounds": [-1.0, 1.0]},
+        },
+        path,
+    )
+    save_s = time.perf_counter() - t0
+    size_mb = path.stat().st_size / 1e6
+    del occ, rgb
+
+    t0 = time.perf_counter()
+    pts, rgbs, aabb = load_volume_any(path)
+    load_s = time.perf_counter() - t0
+    assert len(pts) == n_occ
+    assert pts.dtype == np.float32 and rgbs.dtype == np.float32
+    assert np.all(np.abs(pts) <= 1.0)
+
+    # viewer operations on the full cloud
+    t0 = time.perf_counter()
+    p2, r2 = slice_z(pts, rgbs, -0.25, 0.25)
+    assert 0 < len(p2) < len(pts)
+    p3, r3 = clip_aabb_band(
+        pts, rgbs, {"aabb_remove_below": -0.5, "aabb_remove_above": 0.5}
+    )
+    assert len(p2) <= len(p3) < len(pts)
+    ops_s = time.perf_counter() - t0
+
+    # the display-cap sampling path final_gui applies before scatter
+    cap = 500_000
+    t0 = time.perf_counter()
+    idx = np.random.default_rng(0).choice(len(p3), cap, replace=False)
+    shown = p3[idx]
+    cap_s = time.perf_counter() - t0
+    assert shown.shape == (cap, 3)
+
+    print(
+        f"\nviewer-stress: {n_occ:,} pts | file {size_mb:.0f} MB | "
+        f"build {build_s:.1f}s save {save_s:.1f}s load {load_s:.1f}s "
+        f"slice+clip {ops_s:.2f}s cap-sample {cap_s:.2f}s | "
+        f"peak RSS {_rss_gb():.1f} GB"
+    )
