@@ -267,6 +267,12 @@ class _StorageStub:
         self.name = name
 
 
+class _AttrDict(dict):
+    """dict that additionally absorbs pickle BUILD state (e.g. the
+    `_metadata` attribute torch sets on state_dict OrderedDicts); the
+    attributes land in the instance __dict__ and are ignored downstream."""
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, read_storage):
         super().__init__(file)
@@ -283,7 +289,10 @@ class _Unpickler(pickle.Unpickler):
         if module == "torch" and name == "Size":
             return tuple
         if module == "collections" and name == "OrderedDict":
-            return dict
+            # _AttrDict, not dict: torch state_dicts carry a `_metadata`
+            # attribute that the pickle stream applies with a BUILD opcode,
+            # and BUILD needs an instance __dict__ (plain dict has none).
+            return _AttrDict
         if module in ("torch._utils",) and name == "_rebuild_parameter":
             return lambda data, requires_grad, hooks: data
         raise pickle.UnpicklingError(

@@ -132,3 +132,27 @@ def test_rebuild_tensor_bounds_checked():
         out, np.array([[2, 3, 4], [5, 6, 7]], np.float32)
     )
     assert pth._rebuild_tensor(storage, 0, (0, 3), (3, 1)).shape == (0, 3)
+
+
+def test_reads_state_dict_with_metadata_attribute():
+    """torch pickles nn.Module.state_dict() as an OrderedDict carrying a
+    `_metadata` ATTRIBUTE, applied via a BUILD opcode — the reader must
+    absorb it (a plain-dict stand-in has no __dict__ and crashes)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    from nerfjax import pth
+
+    m = nn.Sequential(nn.Linear(4, 3), nn.ReLU(), nn.Linear(3, 2))
+    sd = m.state_dict()
+    assert getattr(sd, "_metadata", None) is not None  # the BUILD trigger
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.pth")
+        torch.save({"state": sd, "iteration": 7}, p)
+        obj = pth.load(p)
+    assert obj["iteration"] == 7
+    import numpy as np
+    np.testing.assert_allclose(
+        obj["state"]["0.weight"], sd["0.weight"].numpy(), atol=0
+    )
