@@ -1,19 +1,25 @@
 """Headline benchmark: training throughput (rays/sec/chip), NGP-large.
 
 Measures the SAME full train step (sampling, field, compositing, MSE,
-grads, AdamW+OneCycle) at TWO operating points and reports both in one
+grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `single_pass48_sgrad2`: single-pass occupancy sampling (all
+  * headline `tuned12L_single_pass48_sgrad2`: the round-3 tuned op point
+    (cfg/blender_scene_tuned.yml) — single-pass occupancy sampling (all
     48 samples/ray drawn from the occupancy-grid CDF, no coarse network
     pass — instant-ngp's actual design) + unbiased stochastic corner
-    gradients (hash_grad_corners=2). A ray here costs ~5.3x less field
-    work than the reference's 256-sample ray, so rays/s is NOT comparable
-     1:1 with the drop-in number below. Quality evidence for this mode:
-    benchmarks/psnr_parity.json (36 runs at NGP-medium/2048: beats the
-    uniform-hierarchical arm by +3.0/+3.6 dB mean on sphere/boxes scenes)
-    plus a 3000-step NGP-large/8192 train-PSNR stability run (docs/PERF.md).
+    gradients (hash_grad_corners=2) + 12 hash levels (drops the 4 finest
+    levels, whose res 1846-6231 exceeds any 512^3 extraction; PSNR
+    in-spread with 16 levels — spass12L arm, psnr_parity.json). A ray
+    here costs far less field work than the reference's 256-sample ray,
+    so rays/s is NOT comparable 1:1 with the drop-in number below.
+  * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
+    reference's 16-level model shape — the round-2 headline, kept for
+    round-over-round comparability. Quality evidence:
+    benchmarks/psnr_parity.json (42 runs at NGP-medium/2048) plus
+    one-seed runs at the benched NGP-large/8192 shape, plus a 3000-step
+    NGP-large/8192 train-PSNR stability run (docs/PERF.md).
   * secondary `drop_in_64_192_exact`: the reference's exact operating
     point — uniform stratified 64 coarse + 192 fine samples/ray
     (cfg/blender_scene.yml:51-64), exact 8-corner hash backward. This is
@@ -137,24 +143,28 @@ def main() -> None:
         "lr": 5e-4,
     }
 
-    # headline: single-pass occupancy, 48 samples/ray, stochastic k=2 grads
-    headline = _measure(
-        jax,
-        mesh,
-        {
-            **base,
-            "N_samples": 16,
-            "N_importance": 32,
-            "occupancy_grid": True,
-            "hash_grad_corners": 2,
-            "single_pass": True,
-        },
-        warmup=3,
-        steps=20,
+    single_pass = {
+        "N_samples": 16,
+        "N_importance": 32,
+        "occupancy_grid": True,
+        "hash_grad_corners": 2,
+        "single_pass": True,
+    }
+
+    # headline: the round-3 TUNED op point — single-pass 48 samples,
+    # stochastic k=2 grads, 12 hash levels (cfg/blender_scene_tuned.yml;
+    # PSNR in-spread with 16 levels per the spass12L parity arm)
+    tuned = _measure(
+        jax, mesh, {**base, **single_pass, "hash_n_levels": 12},
+        warmup=3, steps=20,
     )
 
-    # secondary: the reference's drop-in op point (uniform 64+192 samples,
-    # exact backward) — ~10 s/step, so few steps
+    # the same op point at the reference's 16-level model shape
+    # (round-2-comparable number)
+    sp16 = _measure(jax, mesh, {**base, **single_pass}, warmup=3, steps=20)
+
+    # the reference's drop-in op point (uniform 64+192 samples, exact
+    # backward) — ~10 s/step, so few steps
     drop_in = _measure(
         jax,
         mesh,
@@ -170,19 +180,29 @@ def main() -> None:
         steps=4,
     )
 
+    def rec(metric: str, value: float) -> dict:
+        return {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(value / REF_RAYS_PER_SEC, 3),
+        }
+
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip_ngp_large_single_pass48_sgrad2",
-                "value": round(headline, 1),
-                "unit": "rays/s/chip",
-                "vs_baseline": round(headline / REF_RAYS_PER_SEC, 3),
-                "secondary": {
-                    "metric": "train_rays_per_sec_per_chip_ngp_large_drop_in_64_192_exact",
-                    "value": round(drop_in, 1),
-                    "unit": "rays/s/chip",
-                    "vs_baseline": round(drop_in / REF_RAYS_PER_SEC, 3),
-                },
+                **rec(
+                    "train_rays_per_sec_per_chip_ngp_large_tuned12L_single_pass48_sgrad2",
+                    tuned,
+                ),
+                "secondary": rec(
+                    "train_rays_per_sec_per_chip_ngp_large_drop_in_64_192_exact",
+                    drop_in,
+                ),
+                "round2_comparable": rec(
+                    "train_rays_per_sec_per_chip_ngp_large_single_pass48_sgrad2",
+                    sp16,
+                ),
             }
         )
     )

@@ -26,7 +26,8 @@ sys.path.insert(0, str(HERE.parent))
 BATCH = 8192
 
 
-def measure(n_levels: int, extra_dense: int = 0, steps: int = 10) -> dict:
+def measure(n_levels: int, extra_dense: int = 0, steps: int = 10,
+            n_s: int = 16, n_i: int = 32) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -49,8 +50,8 @@ def measure(n_levels: int, extra_dense: int = 0, steps: int = 10) -> dict:
                 "ngp": True,
                 "nerf_type": "large",
                 "batch_size": BATCH,
-                "N_samples": 16,
-                "N_importance": 32,
+                "N_samples": n_s,
+                "N_importance": n_i,
                 "precision": "bf16",
                 "lr": 5e-4,
                 "occupancy_grid": True,
@@ -106,6 +107,7 @@ def measure(n_levels: int, extra_dense: int = 0, steps: int = 10) -> dict:
     return {
         "n_levels": n_levels,
         "extra_dense": extra_dense,
+        "samples": n_s + n_i,
         "params_M": round(n_params / 1e6, 2),
         "step_s": round(dt, 4),
         "rays_per_s_chip": round(BATCH / dt, 1),
@@ -122,11 +124,17 @@ def main() -> None:
     if out_path.exists():
         rows = json.loads(out_path.read_text())
     for arm in arms:
+        # arm grammar: "<levels>[ed<extra_dense>][s<total_samples>]"
+        n_s, n_i = 16, 32
+        if "s" in arm:
+            arm, samp = arm.split("s")
+            total = int(samp)
+            n_s, n_i = total // 3, total - total // 3
         if "ed" in arm:
             lv, ed = arm.split("ed")
-            row = measure(int(lv), int(ed))
+            row = measure(int(lv), int(ed), n_s=n_s, n_i=n_i)
         else:
-            row = measure(int(arm))
+            row = measure(int(arm), n_s=n_s, n_i=n_i)
         print(json.dumps(row))
         rows.append(row)
         out_path.write_text(json.dumps(rows, indent=2) + "\n")

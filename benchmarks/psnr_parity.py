@@ -21,6 +21,8 @@ wall-clock comparison):
   * arm "spass12L":  spass2 with hash_n_levels=12 (drops the 4 finest hash
                      levels, whose res exceeds any extractable detail) —
                      validates the round-3 throughput op point holds PSNR
+  * arm "spass12L32": spass12L at 32 samples/ray (16+16) — probes whether
+                     the sample count can drop another 33% at held PSNR
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -59,7 +61,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     from nerfjax.config import ConfigNode, with_defaults
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
-                        "spass12L")
+                        "spass12L", "spass12L32")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -71,13 +73,16 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "num_epochs": steps // STEPS_PER_EPOCH,
                 "lr": 5e-4,
                 "N_samples": 16 if occupancy else 64,
-                "N_importance": 32 if occupancy else 128,
+                "N_importance": (
+                    16 if arm == "spass12L32" else 32 if occupancy else 128
+                ),
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
                 "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1,
-                                      "spass12L": 2}.get(arm, 8),
-                "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L"),
-                "hash_n_levels": 12 if arm == "spass12L" else 16,
+                                      "spass12L": 2, "spass12L32": 2}.get(arm, 8),
+                "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L",
+                                       "spass12L32"),
+                "hash_n_levels": 12 if arm in ("spass12L", "spass12L32") else 16,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -177,7 +182,7 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
-                            "spass8", "spass12L"],
+                            "spass8", "spass12L", "spass12L32"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
