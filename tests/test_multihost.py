@@ -49,6 +49,7 @@ cfg = with_defaults(ConfigNode({{
     "batch_size": 64, "num_epochs": 1, "lr": 5e-3,
     "N_samples": 4, "N_importance": 4, "precision": "fp32",
     "occupancy_grid": False, "hash_grad_corners": 8,
+    "shard_hash_table": sys.argv[5] == "tp",
     "rays_file": os.path.join(tmp, "rays.npz"),
     "output_dir": os.path.join(tmp, "out"),
     "checkpoint_dir": os.path.join(tmp, "out", "ckpt"),
@@ -72,6 +73,18 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_two_process_global_mesh_train(tmp_path):
+    _run_two_process(tmp_path, mode="dp")
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_table(tmp_path):
+    """shard_hash_table across PROCESSES: each host holds half the hash
+    table; the pre-save all-gather collective (train._save_snapshot) is
+    what makes the checkpoint writable by process 0 at all."""
+    _run_two_process(tmp_path, mode="tp")
+
+
+def _run_two_process(tmp_path, mode):
     sys.path.insert(0, str(REPO / "tests"))
     from synthetic import make_ray_npz
 
@@ -98,6 +111,7 @@ def test_two_process_global_mesh_train(tmp_path):
                     "2",
                     str(port),
                     str(tmp_path),
+                    mode,
                 ],
                 env=env,
                 stdout=subprocess.PIPE,
