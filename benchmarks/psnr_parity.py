@@ -23,6 +23,9 @@ wall-clock comparison):
                      validates the round-3 throughput op point holds PSNR
   * arm "spass12L32": spass12L at 32 samples/ray (16+16) — probes whether
                      the sample count can drop another 33% at held PSNR
+  * arm "spass12Led2": spass12L plus hash_extra_dense_levels=2 (the res-81
+                     and res-122 levels stored dense/collision-free as
+                     cell-rows) — the round-3 fastest measured op point
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -61,7 +64,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     from nerfjax.config import ConfigNode, with_defaults
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
-                        "spass12L", "spass12L32")
+                        "spass12L", "spass12L32", "spass12Led2")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -79,10 +82,16 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
                 "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1,
-                                      "spass12L": 2, "spass12L32": 2}.get(arm, 8),
+                                      "spass12L": 2, "spass12L32": 2,
+                                      "spass12Led2": 2}.get(arm, 8),
                 "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L",
-                                       "spass12L32"),
-                "hash_n_levels": 12 if arm in ("spass12L", "spass12L32") else 16,
+                                       "spass12L32", "spass12Led2"),
+                "hash_n_levels": (
+                    12
+                    if arm in ("spass12L", "spass12L32", "spass12Led2")
+                    else 16
+                ),
+                "hash_extra_dense_levels": 2 if arm == "spass12Led2" else 0,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -182,7 +191,7 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
-                            "spass8", "spass12L", "spass12L32"],
+                            "spass8", "spass12L", "spass12L32", "spass12Led2"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
