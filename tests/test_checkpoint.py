@@ -198,3 +198,19 @@ def test_ngp_loads_tcnn_packed_checkpoint():
     rgb2, sigma2 = model.apply(params2, jnp.asarray(pos), jnp.asarray(view))
     np.testing.assert_allclose(np.asarray(rgb2), np.asarray(rgb), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sigma2), np.asarray(sigma), atol=1e-6)
+
+
+def test_ngp_state_dict_roundtrip_tuned_spec():
+    """The tuned op point changes the model shape (12 levels, promoted
+    dense levels) — the state-dict mapping must round-trip it too, since
+    extraction/eval rebuild the model from the SAME cfg via build_fields."""
+    model = InstantNGP("small", n_levels=12, extra_dense_levels=2)
+    params = model.init(jax.random.PRNGKey(0))
+    sd = ckpt.ngp_to_state_dict(model, params)
+    back = ckpt.ngp_from_state_dict(model, sd)
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-1, maxval=1)
+    view = pos / jnp.linalg.norm(pos, axis=-1, keepdims=True)
+    r0, s0 = model.apply(params, pos, view)
+    r1, s1 = model.apply(back, pos, view)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
