@@ -5,15 +5,18 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12L_single_pass48_sgrad2`: the round-3 tuned op point
-    (cfg/blender_scene_tuned.yml) — single-pass occupancy sampling (all
-    48 samples/ray drawn from the occupancy-grid CDF, no coarse network
-    pass — instant-ngp's actual design) + unbiased stochastic corner
-    gradients (hash_grad_corners=2) + 12 hash levels (drops the 4 finest
-    levels, whose res 1846-6231 exceeds any 512^3 extraction; PSNR
-    in-spread with 16 levels — spass12L arm, psnr_parity.json). A ray
-    here costs far less field work than the reference's 256-sample ray,
-    so rays/s is NOT comparable 1:1 with the drop-in number below.
+  * headline `tuned12Led2_single_pass48_sgrad2`: the round-3 tuned op
+    point (cfg/blender_scene_tuned.yml) — single-pass occupancy sampling
+    (all 48 samples/ray drawn from the occupancy-grid CDF, no coarse
+    network pass — instant-ngp's actual design) + unbiased stochastic
+    corner gradients (hash_grad_corners=2) + 12 hash levels (drops the 4
+    finest levels, whose res 1846-6231 exceeds any 512^3 extraction) + 2
+    promoted dense levels (res-81/res-122 stored collision-free as
+    cell-rows: 1 width-16 gather replaces 8 width-1 gathers, backward
+    scatter-free). PSNR in-spread with the 16-level reference shape —
+    spass12L + spass12Led2 arms, psnr_parity.json. A ray here costs far
+    less field work than the reference's 256-sample ray, so rays/s is
+    NOT comparable 1:1 with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
     reference's 16-level model shape — the round-2 headline, kept for
     round-over-round comparability. Quality evidence:
@@ -152,11 +155,20 @@ def main() -> None:
     }
 
     # headline: the round-3 TUNED op point — single-pass 48 samples,
-    # stochastic k=2 grads, 12 hash levels (cfg/blender_scene_tuned.yml;
-    # PSNR in-spread with 16 levels per the spass12L parity arm)
+    # stochastic k=2 grads, 12 hash levels, 2 promoted dense levels
+    # (cfg/blender_scene_tuned.yml; PSNR in-spread with the 16-level
+    # reference shape per the spass12L + spass12Led2 parity arms)
     tuned = _measure(
-        jax, mesh, {**base, **single_pass, "hash_n_levels": 12},
-        warmup=3, steps=20,
+        jax,
+        mesh,
+        {
+            **base,
+            **single_pass,
+            "hash_n_levels": 12,
+            "hash_extra_dense_levels": 2,
+        },
+        warmup=3,
+        steps=20,
     )
 
     # the same op point at the reference's 16-level model shape
@@ -192,7 +204,7 @@ def main() -> None:
         json.dumps(
             {
                 **rec(
-                    "train_rays_per_sec_per_chip_ngp_large_tuned12L_single_pass48_sgrad2",
+                    "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad2",
                     tuned,
                 ),
                 "secondary": rec(
