@@ -26,7 +26,9 @@ TILE = 1024  # lanes per program; multiple of 128
 
 
 def _head_kernel(enc_ref, sh_ref, w1_ref, w2_ref, w3_ref, w4_ref, w5_ref, out_ref):
-    """One tile: enc [32,T], sh [16,T] -> out [4,T] (rgb rows 0..2, sigma 3)."""
+    """One tile: enc [E,T], sh [16,T] -> out [4,T] (rgb rows 0..2, sigma 3).
+    E = n_levels * n_features (32 for the reference 16-level shape, 24 for
+    the tuned 12-level one)."""
     enc = enc_ref[:]
     f = jnp.float32
     h = jnp.maximum(jnp.dot(w1_ref[:], enc, preferred_element_type=f), 0.0)
@@ -45,9 +47,12 @@ def fused_ngp_head(
     sh: jnp.ndarray,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(rgb [3,N], sigma [N]) from enc [32,N] and sh [16,N].
+    """(rgb [3,N], sigma [N]) from enc [E,N] and sh [16,N].
 
     params: the InstantNGP param dict (dmlp/cmlp weight lists, [in,out]).
+    E is read from enc (the dmlp input width must match — e.g. 24 for the
+    tuned 12-level model); a full-height block is legal for any E since a
+    Mosaic block dim may equal the array dim.
     """
     n = enc.shape[1]
     n_pad = -(-n // TILE) * TILE
@@ -56,7 +61,7 @@ def fused_ngp_head(
         sh = jnp.pad(sh, ((0, 0), (0, n_pad - n)))
 
     dt = enc.dtype
-    w1 = params["dmlp"][0]["w"].T.astype(dt)  # [64, 32]
+    w1 = params["dmlp"][0]["w"].T.astype(dt)  # [64, E]
     w2 = params["dmlp"][1]["w"].T.astype(dt)  # [16, 64]
     w3 = params["cmlp"][0]["w"].T.astype(dt)  # [64, 32]
     w4 = params["cmlp"][1]["w"].T.astype(dt)  # [64, 64]
@@ -73,7 +78,7 @@ def fused_ngp_head(
         out_shape=jax.ShapeDtypeStruct((4, n_pad), dt),
         grid=grid,
         in_specs=[
-            data_spec(32),
+            data_spec(enc.shape[0]),
             data_spec(16),
             w_spec,
             w_spec,
