@@ -82,6 +82,14 @@ def main():
     p.add_argument("--occupancy", action=argparse.BooleanOptionalAction,
                    default=True, help="--no-occupancy = uniform sampling arm")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--levels", type=int, default=16,
+                   help="hash_n_levels (12 = round-3 tuned)")
+    p.add_argument("--extra-dense", type=int, default=0,
+                   help="hash_extra_dense_levels (2 = round-3 tuned)")
+    p.add_argument("--single-pass", action="store_true",
+                   help="single-pass occupancy sampling (tuned op point)")
+    p.add_argument("--sgrad", type=int, default=8,
+                   help="hash_grad_corners for the 'full' arm (2 = tuned)")
     args = p.parse_args()
 
     mesh = make_mesh()
@@ -96,6 +104,10 @@ def main():
                 "N_importance": args.ni,
                 "precision": "bf16",
                 "occupancy_grid": bool(args.occupancy),
+                "hash_n_levels": args.levels,
+                "hash_extra_dense_levels": args.extra_dense,
+                "single_pass": bool(args.single_pass),
+                "hash_grad_corners": args.sgrad,
             }
         )
     )
