@@ -26,6 +26,11 @@ wall-clock comparison):
   * arm "spass12Led2": spass12L plus hash_extra_dense_levels=2 (the res-81
                      and res-122 levels stored dense/collision-free as
                      cell-rows) — the round-3 fastest measured op point
+  * arm "spass10Led2": spass12Led2 with hash_n_levels=10 — also drops the
+                     res-923/1385 levels (923 is marginal for a 512^3
+                     extraction's ~2/512 Nyquist, 1385 above it); +20%
+                     throughput measured (micro_tuned_probes.json) IF the
+                     PSNR holds, which this arm tests
   * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
@@ -64,7 +69,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     from nerfjax.config import ConfigNode, with_defaults
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
-                        "spass12L", "spass12L32", "spass12Led2")
+                        "spass12L", "spass12L32", "spass12Led2", "spass10Led2")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -83,15 +88,20 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "occupancy_grid": occupancy,
                 "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1,
                                       "spass12L": 2, "spass12L32": 2,
-                                      "spass12Led2": 2}.get(arm, 8),
+                                      "spass12Led2": 2,
+                                      "spass10Led2": 2}.get(arm, 8),
                 "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L",
-                                       "spass12L32", "spass12Led2"),
+                                       "spass12L32", "spass12Led2", "spass10Led2"),
                 "hash_n_levels": (
-                    12
+                    10
+                    if arm == "spass10Led2"
+                    else 12
                     if arm in ("spass12L", "spass12L32", "spass12Led2")
                     else 16
                 ),
-                "hash_extra_dense_levels": 2 if arm == "spass12Led2" else 0,
+                "hash_extra_dense_levels": (
+                    2 if arm in ("spass12Led2", "spass10Led2") else 0
+                ),
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -191,7 +201,8 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
-                            "spass8", "spass12L", "spass12L32", "spass12Led2"],
+                            "spass8", "spass12L", "spass12L32", "spass12Led2",
+                            "spass10Led2"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
