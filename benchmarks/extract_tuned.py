@@ -56,6 +56,7 @@ def main() -> None:
             "query_s": round(float(meta.get("query_seconds", -1)), 1),
             "transfer_s": round(float(meta.get("transfer_seconds", -1)), 1),
             "occupied_ratio": round(float(occ.mean()), 4),
+            "sparse_fetch": bool(meta.get("sparse_fetch", False)),
         }
         print(json.dumps(row))
         results.append(row)

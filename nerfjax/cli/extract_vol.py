@@ -16,6 +16,10 @@ def main() -> None:
     p.add_argument("--view-direction", nargs=3, type=float, default=[0.0, 0.0, -1.0])
     p.add_argument("--exact", action="store_true",
                    help="exhaustive grid sweep instead of hierarchical refine")
+    p.add_argument("--dense-fetch", action="store_true",
+                   help="fetch the full dense RGB volume from device even in "
+                        "hierarchical mode (default: occupied-voxel-compacted "
+                        "fetch; unoccupied RGB comes back as zeros)")
     # legacy-extractor extras (reference: scripts/extract_occupancy_volume.py)
     p.add_argument("--density-only", action="store_true",
                    help="store only occupancy (zeroed RGB), like the legacy extractor's density mode")
@@ -60,6 +64,7 @@ def main() -> None:
         bounds=tuple(args.bounds),
         view_direction=tuple(args.view_direction),
         hierarchical=False if args.exact else None,
+        sparse_fetch=False if args.dense_fetch else None,
     )
     if args.density_only:
         vol["rgb_volume"] = vol["rgb_volume"] * 0

@@ -17,18 +17,22 @@ from nerfjax.config import ConfigNode, load_config
 
 
 def volume_to_points(
-    occupancy: np.ndarray, rgb_volume: np.ndarray
+    occupancy: np.ndarray, rgb_volume: np.ndarray, global_max: float | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Occupied voxels -> (points_normalized [N,3] in [-1,1], rgbs [N,3]).
 
     Parity: reference scripts/post_process_vol.py:78,87-93 — the reference
     divides the WHOLE rgb_volume by its global max before gathering, so the
     normalizer must be the global max, not the max over occupied voxels.
+    Sparse-fetched volumes (extract.py) zero unoccupied RGB but record the
+    true pre-compaction max in metadata["rgb_global_max"]; pass it here to
+    keep the normalizer identical to a dense fetch.
     """
     occ = np.asarray(occupancy)
     pts_idx = np.argwhere(occ)
     vol = np.asarray(rgb_volume)
-    global_max = float(vol.max()) if vol.size else 0.0
+    if global_max is None:
+        global_max = float(vol.max()) if vol.size else 0.0
     rgbs = vol[pts_idx[:, 0], pts_idx[:, 1], pts_idx[:, 2]].astype(np.float32)
     if global_max > 0:
         rgbs = rgbs / global_max
@@ -74,7 +78,9 @@ def post_process(cfg: ConfigNode, verbose: bool = True) -> dict:
         print(f"Volume shape: {volume.shape}")
         print(f"RGB volume shape: {rgb_volume.shape}")
 
-    points, rgbs = volume_to_points(volume, rgb_volume)
+    points, rgbs = volume_to_points(
+        volume, rgb_volume, data.get("metadata", {}).get("rgb_global_max")
+    )
     if verbose:
         print(f"Points shape: {points.shape}")
         print(f"RGB shape: {rgbs.shape}")
