@@ -26,6 +26,10 @@ wall-clock comparison):
   * arm "spass12Led2": spass12L plus hash_extra_dense_levels=2 (the res-81
                      and res-122 levels stored dense/collision-free as
                      cell-rows) — the round-3 fastest measured op point
+  * arm "spass12Led2k1": spass12Led2 with hash_grad_corners=1 — the step
+                     ablation at the tuned point measures k=1 at +10.4%
+                     throughput (305.7 vs 337.6 ms/step); this arm tests
+                     whether the noisier 1-corner gradient holds PSNR
   * arm "spass10Led2": spass12Led2 with hash_n_levels=10 — also drops the
                      res-923/1385 levels (923 is marginal for a 512^3
                      extraction's ~2/512 Nyquist, 1385 above it); +20%
@@ -69,7 +73,8 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     from nerfjax.config import ConfigNode, with_defaults
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
-                        "spass12L", "spass12L32", "spass12Led2", "spass10Led2")
+                        "spass12L", "spass12L32", "spass12Led2", "spass10Led2",
+                        "spass12Led2k1")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -89,18 +94,22 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "hash_grad_corners": {"sgrad2": 2, "spass2": 2, "spass1": 1,
                                       "spass12L": 2, "spass12L32": 2,
                                       "spass12Led2": 2,
-                                      "spass10Led2": 2}.get(arm, 8),
+                                      "spass10Led2": 2,
+                                      "spass12Led2k1": 1}.get(arm, 8),
                 "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L",
-                                       "spass12L32", "spass12Led2", "spass10Led2"),
+                                       "spass12L32", "spass12Led2", "spass10Led2",
+                                       "spass12Led2k1"),
                 "hash_n_levels": (
                     10
                     if arm == "spass10Led2"
                     else 12
-                    if arm in ("spass12L", "spass12L32", "spass12Led2")
+                    if arm in ("spass12L", "spass12L32", "spass12Led2",
+                               "spass12Led2k1")
                     else 16
                 ),
                 "hash_extra_dense_levels": (
-                    2 if arm in ("spass12Led2", "spass10Led2") else 0
+                    2 if arm in ("spass12Led2", "spass10Led2",
+                                 "spass12Led2k1") else 0
                 ),
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
@@ -202,7 +211,7 @@ def main() -> None:
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
                             "spass8", "spass12L", "spass12L32", "spass12Led2",
-                            "spass10Led2"],
+                            "spass10Led2", "spass12Led2k1"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
