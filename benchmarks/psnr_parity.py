@@ -35,7 +35,11 @@ wall-clock comparison):
                      extraction's ~2/512 Nyquist, 1385 above it); +20%
                      throughput measured (micro_tuned_probes.json) IF the
                      PSNR holds, which this arm tests
-  * scenes: the analytic "sphere" and "boxes" geometries (tests/synthetic.py)
+  * scenes: the analytic "sphere" and "boxes" geometries, plus "grass" —
+    a high-frequency thin-blade field (the reference's demonstrated
+    real-photo use case, procedurally; tests/synthetic.py) used to test
+    whether the single-pass/occupancy advantage survives geometry with
+    structure near the finest hash levels' scale
   * eval: held-out rays (unseen seed), rendered with the SAME uniform
     64+128 sampler for both arms, PSNR vs the numpy ray-march oracle
 
@@ -206,7 +210,8 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--scene", choices=["sphere", "boxes"], default="sphere")
+    p.add_argument("--scene", choices=["sphere", "boxes", "grass"],
+                   default="sphere")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",

@@ -38,6 +38,36 @@ def analytic_density(pts: np.ndarray, scene: str = "sphere") -> np.ndarray:
         s = s + soft_box(pts, np.array([0.4, 0.25, 0.2]), np.array([0.2, 0.2, 0.3]))
         s = s + soft_box(pts, np.array([0.0, -0.3, 0.3]), np.array([0.06, 0.06, 0.45]))
         return np.minimum(s, 25.0)
+    if scene == "grass":
+        # High-frequency geometry class: the reference's demonstrated use is
+        # real grass/forest photographs (reference README.md:115-196). This
+        # is its procedural stand-in — a ground slab plus a jittered grid of
+        # thin vertical blades (pitch 0.1, radius ~0.02, per-cell height),
+        # structure well below the sphere/boxes feature scale.
+        def sig(a):  # overflow-safe logistic (float32 exp caps at ~e^88)
+            return 1.0 / (1.0 + np.exp(np.clip(a, -80.0, 80.0)))
+
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        ground = sig((z + 0.7) * 60.0)
+        pitch = 0.1
+        ix = np.floor(x / pitch).astype(np.int64)
+        iy = np.floor(y / pitch).astype(np.int64)
+        # deterministic per-cell hash -> jitter/height/radius (same primes as
+        # the hash encoding; values in [0,1))
+        h1 = (((ix * 374761393) ^ (iy * 668265263)) & 0x7FFFFFFF) / 2147483648.0
+        h2 = (((ix * 2654435761) ^ (iy * 805459861)) & 0x7FFFFFFF) / 2147483648.0
+        cx = (ix + 0.2 + 0.6 * h1) * pitch
+        cy = (iy + 0.2 + 0.6 * h2) * pitch
+        r = np.hypot(x - cx, y - cy)
+        radius = 0.018 + 0.012 * h2
+        top = -0.2 + 0.5 * h1  # blade tops in [-0.2, 0.3]
+        blade = (
+            sig((r - radius) * 400.0)
+            * sig((z - top) * 40.0)
+            * sig(-(z + 0.7) * 60.0)
+        )
+        patch = (np.abs(x) < 0.8) & (np.abs(y) < 0.8)
+        return np.minimum(25.0 * (ground + blade * patch), 25.0)
     raise ValueError(f"unknown scene {scene!r}")
 
 
@@ -50,6 +80,21 @@ def analytic_rgb(pts: np.ndarray, scene: str = "sphere") -> np.ndarray:
         )
         base = np.clip(pts * 0.5 + 0.5, 0.0, 1.0)
         return np.clip(base * (0.4 + 0.6 * checker), 0.0, 1.0)
+    if scene == "grass":
+        # green blades with per-blade hue variation, brown ground below
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        ix = np.floor(x / 0.1).astype(np.int64)
+        iy = np.floor(y / 0.1).astype(np.int64)
+        h1 = (((ix * 374761393) ^ (iy * 668265263)) & 0x7FFFFFFF) / 2147483648.0
+        t = np.clip((z + 0.7) / 1.0, 0.0, 1.0)  # height blend above ground
+        grn = np.stack(
+            [0.15 + 0.25 * h1, 0.45 + 0.4 * h1 * t, 0.1 + 0.1 * (1 - h1)], -1
+        )
+        brown = np.broadcast_to(np.array([0.35, 0.25, 0.12]), grn.shape)
+        w = (1.0 / (1.0 + np.exp(np.clip(-(z + 0.68) * 80.0, -80.0, 80.0))))[
+            ..., None
+        ]
+        return np.clip(brown * (1 - w) + grn * w, 0.0, 1.0)
     return np.clip(pts * 0.5 + 0.5, 0.0, 1.0)
 
 
@@ -95,7 +140,10 @@ def make_ray_npz(
     o, d, tn, tf = o[hit][:n_rays], d[hit][:n_rays], tn[hit][:n_rays], tf[hit][:n_rays]
     tn = np.maximum(tn, 0.0)
 
-    rgb = march_rays(o, d, tn, tf, scene=scene)
+    # thin-structure scenes need a finer oracle march than the 256 default
+    # (grass blade radius ~0.02 vs ~0.017 step at 256 over a 4.5-unit ray)
+    rgb = march_rays(o, d, tn, tf, scene=scene,
+                     n_steps=768 if scene == "grass" else 256)
     data = {
         "rays_o": o.astype(np.float32),
         "rays_d": d.astype(np.float32),
