@@ -5,18 +5,20 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12Led2_single_pass48_sgrad2`: the round-3 tuned op
+  * headline `tuned12Led2_single_pass48_sgrad1`: the round-3 tuned op
     point (cfg/blender_scene_tuned.yml) — single-pass occupancy sampling
     (all 48 samples/ray drawn from the occupancy-grid CDF, no coarse
     network pass — instant-ngp's actual design) + unbiased stochastic
-    corner gradients (hash_grad_corners=2) + 12 hash levels (drops the 4
+    corner gradients (hash_grad_corners=1) + 12 hash levels (drops the 4
     finest levels, whose res 1846-6231 exceeds any 512^3 extraction) + 2
     promoted dense levels (res-81/res-122 stored collision-free as
     cell-rows: 1 width-16 gather replaces 8 width-1 gathers, backward
     scatter-free). PSNR in-spread with the 16-level reference shape —
-    spass12L + spass12Led2 arms, psnr_parity.json. A ray here costs far
-    less field work than the reference's 256-sample ray, so rays/s is
-    NOT comparable 1:1 with the drop-in number below.
+    spass12L / spass12Led2 / spass12Led2k1 arms, psnr_parity.json; the
+    k=1 arm is the BEST arm at this exact NGP-large/8192 shape (34.14 dB
+    vs 33.89 k=2, 30.42 uniform). A ray here costs far less field work
+    than the reference's 256-sample ray, so rays/s is NOT comparable 1:1
+    with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
     reference's 16-level model shape — the round-2 headline, kept for
     round-over-round comparability. Quality evidence:
@@ -155,9 +157,10 @@ def main() -> None:
     }
 
     # headline: the round-3 TUNED op point — single-pass 48 samples,
-    # stochastic k=2 grads, 12 hash levels, 2 promoted dense levels
+    # stochastic k=1 grads, 12 hash levels, 2 promoted dense levels
     # (cfg/blender_scene_tuned.yml; PSNR in-spread with the 16-level
-    # reference shape per the spass12L + spass12Led2 parity arms)
+    # reference shape per the spass12L/spass12Led2/spass12Led2k1 parity
+    # arms, and best-of-all-arms at this exact shape)
     tuned = _measure(
         jax,
         mesh,
@@ -166,6 +169,7 @@ def main() -> None:
             **single_pass,
             "hash_n_levels": 12,
             "hash_extra_dense_levels": 2,
+            "hash_grad_corners": 1,
         },
         warmup=3,
         steps=20,
@@ -204,7 +208,7 @@ def main() -> None:
         json.dumps(
             {
                 **rec(
-                    "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad2",
+                    "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1",
                     tuned,
                 ),
                 "secondary": rec(
