@@ -90,6 +90,10 @@ def main():
                    help="single-pass occupancy sampling (tuned op point)")
     p.add_argument("--sgrad", type=int, default=8,
                    help="hash_grad_corners for the 'full' arm (2 = tuned)")
+    p.add_argument("--forward-arms", action="store_true",
+                   help="also run forward-side attribution arms "
+                        "(no-hash-gather / no-hash-fwd / no-dense-gather / "
+                        "uniform-sampler)")
     args = p.parse_args()
 
     mesh = make_mesh()
@@ -173,6 +177,60 @@ def main():
         cfg_k = cfg.merge({"hash_grad_corners": k})
         fck, ffk, _ = build_fields(cfg_k)
         run(f"sgrad-k{k}", fields=(fck, ffk))
+
+    if args.forward_arms:
+        # Forward-side attribution (all NOT-a-train-step semantics — each
+        # arm deletes real work to price it; losses are meaningless):
+        #   no-hash-gather — hashed levels keep ALL index/weight math but
+        #     read a single broadcast table word instead of gathering
+        #     (prices the 8-corner gathers alone)
+        #   no-hash-fwd   — hashed levels return zeros (also prices the
+        #     index/weight arithmetic)
+        #   no-dense-gather — dense cell-row levels keep interpolation
+        #     math, broadcast row 0 (prices the width-16 row gathers)
+        def no_hash_gather(spec, hp, x, y, z):
+            _, hashed = he._split_levels(spec)
+            Lh = len(hashed)
+            w = he._corner_weights(hashed, x, y, z, clamp=False)
+            f = hp[0, 0].astype(w.dtype)  # one scalar read, no gather
+            N = x.shape[0]
+            e = jnp.sum((f * w).reshape(Lh, 8, N), axis=1)
+            return jax.lax.stop_gradient(jnp.stack([e, e]))
+
+        run("no-hash-gather", no_hash_gather)
+
+        def no_hash_fwd(spec, hp, x, y, z):
+            _, hashed = he._split_levels(spec)
+            Lh = len(hashed)
+            zero = jnp.zeros((2, Lh, x.shape[0]), hp.dtype) + hp[0, 0] * 0
+            return jax.lax.stop_gradient(zero)
+
+        run("no-hash-fwd", no_hash_fwd)
+
+        orig_dense2 = he._dense_levels_encode
+
+        def no_dense_gather(spec, dense, planes, x, y, z, dtype):
+            def patched_take(rows, row_idx, axis=0):
+                return jnp.broadcast_to(rows[0], (row_idx.shape[0],) + rows.shape[1:])
+
+            take = jnp.take
+            try:
+                jnp.take = lambda a, i, axis=0: (
+                    patched_take(a, i) if a.ndim == 2 and a.shape[1] == 16 else take(a, i, axis=axis)
+                )
+                e0, e1 = orig_dense2(spec, dense, planes, x, y, z, dtype)
+            finally:
+                jnp.take = take
+            return jax.lax.stop_gradient(e0), jax.lax.stop_gradient(e1)
+
+        he._dense_levels_encode = no_dense_gather
+        try:
+            run("no-dense-gather")
+        finally:
+            he._dense_levels_encode = orig_dense2
+
+        # (sampler price: compare a separate `--no-occupancy` invocation —
+        # the hierarchical-uniform control is already a first-class arm)
 
 
 if __name__ == "__main__":
