@@ -14,11 +14,12 @@ JSON line — they are different quantities and must not be conflated
     promoted dense levels (res-81/res-122 stored collision-free as
     cell-rows: 1 width-16 gather replaces 8 width-1 gathers, backward
     scatter-free). PSNR in-spread with the 16-level reference shape —
-    spass12L / spass12Led2 / spass12Led2k1 arms, psnr_parity.json; the
-    k=1 arm is the BEST arm at this exact NGP-large/8192 shape (34.14 dB
-    vs 33.89 k=2, 30.42 uniform). A ray here costs far less field work
-    than the reference's 256-sample ray, so rays/s is NOT comparable 1:1
-    with the drop-in number below.
+    spass12L / spass12Led2 / spass12Led2k1 arms, psnr_parity.json; at
+    this exact NGP-large/8192 shape the k=1 and k=2 tuned arms are
+    statistically identical across 3 seeds (both mean 33.32 dB vs 30.42
+    uniform), so k=1's +10.4% throughput is a free win in expectation.
+    A ray here costs far less field work than the reference's 256-sample
+    ray, so rays/s is NOT comparable 1:1 with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
     reference's 16-level model shape — the round-2 headline, kept for
     round-over-round comparability. Quality evidence:
@@ -160,7 +161,7 @@ def main() -> None:
     # stochastic k=1 grads, 12 hash levels, 2 promoted dense levels
     # (cfg/blender_scene_tuned.yml; PSNR in-spread with the 16-level
     # reference shape per the spass12L/spass12Led2/spass12Led2k1 parity
-    # arms, and best-of-all-arms at this exact shape)
+    # arms, 3 seeds at this exact shape)
     tuned = _measure(
         jax,
         mesh,

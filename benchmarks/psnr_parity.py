@@ -232,10 +232,15 @@ def main() -> None:
             if RESULTS.exists()
             else set()
         )
-        for scene in ("sphere", "boxes"):
+        for scene in ("sphere", "boxes", "grass"):
             for seed in (0, 1, 2):
-                for arm in ("uniform", "occupancy", "sgrad2", "spass2", "spass1",
-                            "spass8"):
+                arms = (
+                    ("uniform", "spass2", "spass12Led2k1")
+                    if scene == "grass"
+                    else ("uniform", "occupancy", "sgrad2", "spass2", "spass1",
+                          "spass8")
+                )
+                for arm in arms:
                     if (scene, seed, arm) in done:
                         print(f"skip {scene} s{seed} {arm} (done)")
                         continue
