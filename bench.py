@@ -84,7 +84,7 @@ def _measure(jax, mesh, cfg_dict: dict, warmup: int, steps: int) -> float:
     n_chips = len(mesh.devices.ravel())
     cfg = with_defaults(ConfigNode(cfg_dict))
     settings = TrainSettings.from_cfg(cfg, total_steps=TOTAL_STEPS)
-    fc, ff, _ = build_fields(cfg)
+    fc, ff, _ = build_fields(cfg, train=True)
     params = init_params(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(settings)
     opt_state = tx.init(params)

@@ -53,6 +53,16 @@ class HashGridSpec:
     # cost ~8x at the price of per-step gradient noise. Forward is always
     # exact.
     grad_corners: int = 8
+    # Hash-level FORWARD: 8 = exact trilinear interpolation; 1..7 = UNBIASED
+    # stochastic estimate (dithered trilinear): draw k corners per (level,
+    # point) with probability = trilinear weight and average their raw
+    # values — E[mean f_c] equals the exact interpolation because the
+    # importance factor w/p cancels. Cuts the hashed forward gather volume
+    # (45% of the tuned v5e step, docs/PERF.md) by 8/k at the price of
+    # per-step encode noise. TRAIN-ONLY: relies on per-step sample jitter
+    # to decorrelate draws; only nerfjax.train.build_fields(train=True)
+    # ever sets it (< 8); eval/extract/render construct exact specs.
+    fwd_corners: int = 8
     # Promote the first E would-be-hashed levels to DENSE storage (their
     # full res^3 table instead of 2^log2 hashed slots). Model change
     # (opt-in, grows the table): the promoted level loses hash collisions
@@ -228,6 +238,7 @@ class InstantNGP:
     hidden: int = 64
     geo_feat_dim: int = 16
     grad_corners: int = 8  # see HashGridSpec.grad_corners
+    fwd_corners: int = 8  # see HashGridSpec.fwd_corners (train-only)
     extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
     @property
@@ -241,6 +252,7 @@ class InstantNGP:
             base_resolution=self.base_resolution,
             per_level_scale=self.per_level_scale,
             grad_corners=self.grad_corners,
+            fwd_corners=self.fwd_corners,
             extra_dense_levels=self.extra_dense_levels,
         )
 

@@ -128,6 +128,61 @@ def _corner_weights(
     return w.reshape(w.shape[0] * 8, -1)
 
 
+def _draw_corners(
+    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, cdf: jnp.ndarray, Lh: int, k: int
+) -> jnp.ndarray:
+    """k iid corner draws per (level, point): P(corner) = trilinear weight.
+
+    Returns [k, Lh, N] int32 in 0..7. Randomness derives from the sample
+    POSITION BITS (positions are re-jittered every training step), so the
+    sequence is deterministic per position: draw j is the j-th element of a
+    fixed salted hash sequence. That determinism is load-bearing — a
+    backward that replays the first b <= k draws reproduces exactly the
+    corners the forward gathered, without saving them as residuals.
+    TRAIN-ONLY assumption (same as the stochastic backward below): with an
+    un-jittered sampler or duplicate positions the draws repeat every step
+    and the estimator noise correlates.
+    """
+    bx = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    by = jax.lax.bitcast_convert_type(y, jnp.uint32)
+    bz = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    seed = (
+        bx * np.uint32(0x9E3779B1)
+        ^ by * np.uint32(0x85EBCA77)
+        ^ bz * np.uint32(0xC2B2AE3D)
+    )  # [N]
+    lvl = (
+        jnp.arange(Lh, dtype=jnp.uint32)[:, None] * np.uint32(2654435761)
+    )  # [Lh, 1]
+    draws = []
+    for j in range(k):
+        h = (seed[None, :] ^ lvl) + np.uint32((j * 0x7F4A7C15) & 0xFFFFFFFF)
+        h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        u = (h >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))  # [Lh,N)
+        u = u * cdf[:, 7, :]  # guard against float cumsum < 1
+        c = jnp.sum(
+            (u[:, None, :] >= cdf[:, :7, :]).astype(jnp.int32), axis=1
+        )  # [Lh, N] in 0..7
+        draws.append(c)
+    return jnp.stack(draws)  # [k, Lh, N]
+
+
+def _select_drawn_indices(idx3: jnp.ndarray, draws: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free corner-id -> table-index select.
+
+    idx3: [Lh, 8, N] per-corner table indices; draws: [k, Lh, N] corner ids.
+    Returns [k, Lh, N]. Uses a one-hot multiply-sum (VPU streaming) instead
+    of a gather — corner selection must not itself cost gather issue slots.
+    """
+    corner8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]  # [1, 8, 1]
+    out = []
+    for j in range(draws.shape[0]):
+        onehot = (corner8 == draws[j][:, None, :]).astype(jnp.int32)  # [Lh,8,N]
+        out.append(jnp.sum(idx3 * onehot, axis=1))  # [Lh, N]
+    return jnp.stack(out)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _hash_levels_encode(spec: HashGridSpec, hash_planes, x, y, z):
     """Encode all hash levels: -> [Lh, N] per plane, stacked as [2, Lh, N].
@@ -142,15 +197,37 @@ def _hash_levels_encode(spec: HashGridSpec, hash_planes, x, y, z):
 def _hash_levels_fwd(spec, hash_planes, x, y, z):
     _, hashed = _split_levels(spec)
     Lh = len(hashed)
+    N = x.shape[0]
     idx = _hash_level_indices(spec, hashed, x, y, z)  # [Lh*8, N]
     packed = _pack_pairs_bf16(hash_planes)  # [T_hash]
-    words = jnp.take(packed, idx.reshape(-1), axis=0).reshape(idx.shape)
-    f0, f1 = _unpack_pairs(words)  # [Lh*8, N] each
-    w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
-    N = x.shape[0]
-    e0 = jnp.sum((f0 * w).reshape(Lh, 8, N), axis=1)  # [Lh, N]
-    e1 = jnp.sum((f1 * w).reshape(Lh, 8, N), axis=1)
-    # residuals: positions only — indices/weights are recomputed in bwd
+    fwd = int(getattr(spec, "fwd_corners", 8))
+    if fwd >= 8:
+        words = jnp.take(packed, idx.reshape(-1), axis=0).reshape(idx.shape)
+        f0, f1 = _unpack_pairs(words)  # [Lh*8, N] each
+        w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
+        e0 = jnp.sum((f0 * w).reshape(Lh, 8, N), axis=1)  # [Lh, N]
+        e1 = jnp.sum((f1 * w).reshape(Lh, 8, N), axis=1)
+        # residuals: positions only — indices/weights are recomputed in bwd
+        return jnp.stack([e0, e1]), (x, y, z)
+
+    # Stochastic forward (fwd_corners = k < 8): dithered trilinear. Draw k
+    # corners per (level, point) with probability = trilinear weight and
+    # AVERAGE their raw values: E[mean_j f_{c_j}] = sum_c w_c f_c — the
+    # exact interpolation — because the importance factor w_c / p_c = 1.
+    # Gather volume for the hashed levels (45% of the tuned v5e step,
+    # docs/PERF.md) shrinks by 8/k; no weight multiply remains in forward.
+    # TRAIN-ONLY (see _draw_corners): eval/extract/render paths construct
+    # specs with fwd_corners=8 (nerfjax.train.build_fields gates the knob
+    # behind train=True).
+    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
+    cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]
+    draws = _draw_corners(x, y, z, cdf, Lh, fwd)  # [fwd, Lh, N]
+    sel = _select_drawn_indices(idx.reshape(Lh, 8, N), draws)  # [fwd, Lh, N]
+    words = jnp.take(packed, sel.reshape(-1), axis=0).reshape(fwd, Lh, N)
+    f0, f1 = _unpack_pairs(words)
+    inv = np.float32(1.0 / fwd)
+    e0 = jnp.sum(f0, axis=0) * inv  # [Lh, N]
+    e1 = jnp.sum(f1, axis=0) * inv
     return jnp.stack([e0, e1]), (x, y, z)
 
 
@@ -161,6 +238,28 @@ def _hash_levels_bwd(spec, res, g):
     N = x.shape[0]
     T_hash = sum(lp["size"] for lp in hashed)
     k = int(getattr(spec, "grad_corners", 8))
+    fwd = int(getattr(spec, "fwd_corners", 8))
+    if fwd < 8:
+        # Backward of the stochastic forward: the estimator mean_j f_{c_j}
+        # is linear in the table, so its exact VJP scatters g/fwd to each
+        # DRAWN corner. _draw_corners is deterministic in the position
+        # bits, so replaying the sequence reproduces the forward's corners
+        # without residuals. grad_corners < fwd additionally subsamples to
+        # the first b draws with g/b — unbiased for the true trilinear
+        # gradient by the same cancellation as the k-corner estimator
+        # below (the draws are iid, so any prefix is a valid sample).
+        b = min(k, fwd)
+        w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
+        cdf = jnp.cumsum(w, axis=1)
+        idx3 = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
+        draws = _draw_corners(x, y, z, cdf, Lh, b)  # prefix of fwd's draws
+        sel = _select_drawn_indices(idx3, draws).reshape(-1)  # [b*Lh*N]
+        inv_b = np.float32(1.0 / b)
+        gv0 = jnp.broadcast_to(g[0][None] * inv_b, (b, Lh, N)).reshape(-1)
+        gv1 = jnp.broadcast_to(g[1][None] * inv_b, (b, Lh, N)).reshape(-1)
+        grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
+        grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
+        return jnp.stack([grad0, grad1]), None, None, None
     if k >= 8:
         idx = _hash_level_indices(spec, hashed, x, y, z).reshape(-1)  # [Lh*8*N]
         w = _corner_weights(hashed, x, y, z, clamp=False)  # [Lh*8, N]
@@ -193,32 +292,8 @@ def _hash_levels_bwd(spec, res, g):
     idx = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
     w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
     cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0
-    bx = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    by = jax.lax.bitcast_convert_type(y, jnp.uint32)
-    bz = jax.lax.bitcast_convert_type(z, jnp.uint32)
-    seed = (
-        bx * np.uint32(0x9E3779B1)
-        ^ by * np.uint32(0x85EBCA77)
-        ^ bz * np.uint32(0xC2B2AE3D)
-    )  # [N]
-    lvl = (
-        jnp.arange(Lh, dtype=jnp.uint32)[:, None] * np.uint32(2654435761)
-    )  # [Lh, 1]
-    corner8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]  # [1, 8, 1]
-
-    sel_rows = []
-    for j in range(k):
-        h = (seed[None, :] ^ lvl) + np.uint32((j * 0x7F4A7C15) & 0xFFFFFFFF)
-        h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
-        h = h ^ (h >> 12)
-        u = (h >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))  # [Lh,N)
-        u = u * cdf[:, 7, :]  # guard against float cumsum < 1
-        c = jnp.sum(
-            (u[:, None, :] >= cdf[:, :7, :]).astype(jnp.int32), axis=1
-        )  # [Lh, N] in 0..7
-        onehot = (corner8 == c[:, None, :]).astype(jnp.int32)  # [Lh, 8, N]
-        sel_rows.append(jnp.sum(idx * onehot, axis=1))  # [Lh, N]
-    sel = jnp.stack(sel_rows).reshape(-1)  # [k*Lh*N]
+    draws = _draw_corners(x, y, z, cdf, Lh, k)  # [k, Lh, N]
+    sel = _select_drawn_indices(idx, draws).reshape(-1)  # [k*Lh*N]
     inv_k = np.float32(1.0 / k)
     gv0 = jnp.broadcast_to(g[0][None] * inv_k, (k, Lh, N)).reshape(-1)
     gv1 = jnp.broadcast_to(g[1][None] * inv_k, (k, Lh, N)).reshape(-1)

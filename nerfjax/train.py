@@ -50,16 +50,26 @@ from nerfjax.render import render_rays_planar
 # ---------------------------------------------------------------------------
 
 
-def build_fields(cfg: ConfigNode):
+def build_fields(cfg: ConfigNode, train: bool = False):
     """Create (field_coarse, field_fine, shared) per config.
 
     ngp=true shares one InstantNGP for both passes; vanilla uses two
     independent MLPs (reference: scripts/train.py:219-228).
+
+    ``train=True`` additionally applies the TRAIN-ONLY stochastic-forward
+    knob ``hash_fwd_corners`` (dithered trilinear; relies on per-step
+    sample jitter — see HashGridSpec.fwd_corners). Eval/extract/checkpoint
+    callers use the default and always get the exact forward, so a model
+    trained with the estimator is rendered exactly.
     """
     if cfg.get("ngp", True):
+        fwd_corners = int(cfg.get("hash_fwd_corners", 8)) if train else 8
+        if not 1 <= fwd_corners <= 8:
+            raise ValueError(f"hash_fwd_corners must be in 1..8, got {fwd_corners}")
         field = InstantNGP(
             nerf_type=cfg.get("nerf_type", "large"),
             grad_corners=int(cfg.get("hash_grad_corners", 8)),
+            fwd_corners=fwd_corners,
             # Tuned op point (Parity+): fewer levels drop the finest hash
             # grids (16 levels reach res ~7000^3 — far beyond the 512^3
             # volume this pipeline ever extracts) and shrink the gather/
@@ -438,7 +448,7 @@ def train(
     total_steps = num_epochs * steps_per_epoch
 
     settings = TrainSettings.from_cfg(cfg, total_steps)
-    field_coarse, field_fine, shared = build_fields(cfg)
+    field_coarse, field_fine, shared = build_fields(cfg, train=True)
 
     key = jax.random.PRNGKey(seed)
     k_init, k_train = jax.random.split(key)

@@ -258,3 +258,96 @@ def test_extra_dense_level_promotion_matches_oracle():
     g = jax.grad(loss_fast)(planes)
     sl = slice(lp[i]["offset"], lp[i]["offset"] + lp[i]["size"])
     assert float(jnp.sum(jnp.abs(g[:, sl]))) > 0
+
+
+def test_stochastic_forward_unbiased_and_consistent():
+    """fwd_corners=k<8 is a dithered trilinear: per (level, point) it
+    averages k corners drawn with probability = trilinear weight. Checks:
+    (a) over many near-identical jittered positions the mean stochastic
+    encode converges to the exact interpolation (unbiasedness — draws are
+    keyed on position bits, so jitter decorrelates them), (b) the VJP is
+    the exact gradient of the estimator (directional finite difference —
+    the estimator is linear in the table, so central differences are
+    exact up to float rounding), (c) gradient support is a subset of the
+    exact-trilinear support with total mass exactly preserved."""
+    import dataclasses
+
+    spec8 = HashGridSpec(n_levels=6, log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=2.0)
+    rng = np.random.default_rng(1)
+    planes = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (2, spec8.total_table_size)).astype(np.float32)
+    )
+
+    # (a) unbiasedness: one base point, 20k jitters of ~1e-6 (weights move
+    # negligibly; position BITS — the draw seed — all differ).
+    N = 20000
+    base = np.asarray([0.4321, 0.6173, 0.2917], np.float32)
+    jit = rng.uniform(0.0, 1e-6, (N, 3)).astype(np.float32)
+    p = base[None, :] + jit
+    x, y, z = (jnp.asarray(p[:, i]) for i in range(3))
+
+    def enc(spec):
+        return np.asarray(hash_encode_planar(spec, planes, x, y, z,
+                                             dtype=jnp.float32))
+
+    e_exact = enc(spec8)
+    for k in (1, 2, 4):
+        e_stoch = enc(dataclasses.replace(spec8, fwd_corners=k))
+        # per-row (level-plane) mean over the 20k near-identical points
+        diff = (e_stoch - e_exact).mean(axis=1)
+        assert np.max(np.abs(diff)) < 5e-4, (k, diff)
+        # and it IS stochastic: individual points differ from exact
+        assert np.abs(e_stoch - e_exact).max() > 1e-4, k
+
+    # (b) VJP == gradient of the estimator (fwd=2, grad_corners default 8
+    # -> backward replays both forward draws with g/2).
+    spec_f2 = dataclasses.replace(spec8, fwd_corners=2)
+    xs, ys, zs = x[:64], y[:64], z[:64]
+
+    def f(pl):
+        return jnp.sum(hash_encode_planar(spec_f2, pl, xs, ys, zs,
+                                          dtype=jnp.float32) * 0.001)
+
+    g = np.asarray(jax.grad(f)(planes))
+    d = jnp.asarray(rng.normal(size=planes.shape).astype(np.float32))
+    eps = 1e-2
+    fd = (float(f(planes + eps * d)) - float(f(planes - eps * d))) / (2 * eps)
+    got = float(jnp.vdot(jnp.asarray(g), d))
+    # bf16 table rounding makes f piecewise-constant in sub-bf16 moves of
+    # individual entries; a large random direction averages that out.
+    np.testing.assert_allclose(fd, got, rtol=5e-2, atol=1e-6)
+
+    # (c) support subset + exact mass preservation vs exact trilinear grad
+    def loss(spec):
+        def f2(pl):
+            return jnp.sum(hash_encode_planar(spec, pl, x, y, z,
+                                              dtype=jnp.float32) * 0.001)
+        return np.asarray(jax.grad(f2)(planes))
+
+    g_exact = loss(spec8)
+    for k in (1, 2):
+        g_stoch = loss(dataclasses.replace(spec8, fwd_corners=k))
+        np.testing.assert_allclose(g_stoch.sum(axis=1), g_exact.sum(axis=1),
+                                   rtol=1e-4)
+        assert np.all((g_stoch != 0) <= (g_exact != 0)), k
+
+
+def test_fwd_corners_flows_from_cfg_train_only():
+    """hash_fwd_corners reaches the spec ONLY via build_fields(train=True);
+    eval/extract/checkpoint callers (default train=False) stay exact."""
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import build_fields
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_fwd_corners": 2}))
+    fc_eval, _, _ = build_fields(cfg)
+    assert fc_eval.spec.fwd_corners == 8
+    fc_train, _, _ = build_fields(cfg, train=True)
+    assert fc_train.spec.fwd_corners == 2
+
+    bad = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "hash_fwd_corners": 0}))
+    with pytest.raises(ValueError):
+        build_fields(bad, train=True)
