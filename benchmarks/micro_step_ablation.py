@@ -94,6 +94,9 @@ def main():
                    help="also run forward-side attribution arms "
                         "(no-hash-gather / no-hash-fwd / no-dense-gather / "
                         "uniform-sampler)")
+    p.add_argument("--fwd", type=int, default=8,
+                   help="hash_fwd_corners for the 'full' arm (8 = exact; "
+                        "<8 = stochastic dithered-trilinear forward)")
     args = p.parse_args()
 
     mesh = make_mesh()
@@ -112,11 +115,12 @@ def main():
                 "hash_extra_dense_levels": args.extra_dense,
                 "single_pass": bool(args.single_pass),
                 "hash_grad_corners": args.sgrad,
+                "hash_fwd_corners": args.fwd,
             }
         )
     )
     settings = TrainSettings.from_cfg(cfg, total_steps=10_000)
-    fc, ff, _ = build_fields(cfg)
+    fc, ff, _ = build_fields(cfg, train=True)
     # keep host copies: the train step donates its buffers, so each run
     # must materialize fresh device arrays
     params0 = jax.device_get(init_params(cfg, jax.random.PRNGKey(0)))

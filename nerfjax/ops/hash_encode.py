@@ -183,6 +183,53 @@ def _select_drawn_indices(idx3: jnp.ndarray, draws: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
+def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int):
+    """(sel [k,Lh,N] int32, coef [k,Lh,N] f32): an unbiased k-gather plan.
+
+    sum_j coef_j * f[sel_j] is an unbiased estimate of the exact trilinear
+    interpolation sum_c w_c f_c, and scattering coef_j * g to sel_j is an
+    unbiased estimate of the exact gradient w_c * g. Two schemes:
+
+      k == 1: one iid draw with P(corner) = w (coef = 1) — the importance
+              factor w/p cancels.
+      k >= 2: LEADER + RESIDUAL (variance reduction): the max-weight corner
+              m is taken DETERMINISTICALLY with coef = w_m, and k-1 iid
+              draws come from the residual distribution wr = w with w_m
+              zeroed, each with coef = (sum wr)/(k-1). Unbiased by the same
+              cancellation, but the leader term — on average ~0.4 of the
+              total mass for uniformly placed samples — contributes zero
+              variance, so this strictly dominates k iid draws at equal
+              gather count.
+
+    The same deterministic position-bit draws (_draw_corners) back both the
+    forward estimator and its VJP: calling with equal k replays identical
+    (sel, coef), so the backward of a stochastic forward is its exact VJP
+    without residuals.
+    """
+    Lh, _, N = idx3.shape
+    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
+    if k == 1:
+        cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0
+        sel = _select_drawn_indices(idx3, _draw_corners(x, y, z, cdf, Lh, 1))
+        return sel, jnp.ones((1, Lh, N), jnp.float32)
+    m = jnp.argmax(w, axis=1).astype(jnp.int32)  # [Lh, N]
+    corner8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+    onehot_m = (corner8 == m[:, None, :]).astype(jnp.float32)  # [Lh, 8, N]
+    wstar = jnp.max(w, axis=1)  # [Lh, N]
+    wr = w * (1.0 - onehot_m)
+    cdfr = jnp.cumsum(wr, axis=1)
+    total = cdfr[:, 7, :]  # = 1 - wstar (exactly the drawn mass)
+    sel_m = jnp.sum(idx3 * onehot_m.astype(jnp.int32), axis=1)  # [Lh, N]
+    draws = _draw_corners(x, y, z, cdfr, Lh, k - 1)  # u scaled by total
+    sel_r = _select_drawn_indices(idx3, draws)  # [k-1, Lh, N]
+    sel = jnp.concatenate([sel_m[None], sel_r], axis=0)
+    coef_r = jnp.broadcast_to(
+        total[None] * np.float32(1.0 / (k - 1)), (k - 1, Lh, N)
+    )
+    coef = jnp.concatenate([wstar[None], coef_r], axis=0)
+    return sel, coef
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _hash_levels_encode(spec: HashGridSpec, hash_planes, x, y, z):
     """Encode all hash levels: -> [Lh, N] per plane, stacked as [2, Lh, N].
@@ -210,24 +257,18 @@ def _hash_levels_fwd(spec, hash_planes, x, y, z):
         # residuals: positions only — indices/weights are recomputed in bwd
         return jnp.stack([e0, e1]), (x, y, z)
 
-    # Stochastic forward (fwd_corners = k < 8): dithered trilinear. Draw k
-    # corners per (level, point) with probability = trilinear weight and
-    # AVERAGE their raw values: E[mean_j f_{c_j}] = sum_c w_c f_c — the
-    # exact interpolation — because the importance factor w_c / p_c = 1.
-    # Gather volume for the hashed levels (45% of the tuned v5e step,
-    # docs/PERF.md) shrinks by 8/k; no weight multiply remains in forward.
-    # TRAIN-ONLY (see _draw_corners): eval/extract/render paths construct
-    # specs with fwd_corners=8 (nerfjax.train.build_fields gates the knob
-    # behind train=True).
-    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
-    cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]
-    draws = _draw_corners(x, y, z, cdf, Lh, fwd)  # [fwd, Lh, N]
-    sel = _select_drawn_indices(idx.reshape(Lh, 8, N), draws)  # [fwd, Lh, N]
+    # Stochastic forward (fwd_corners = k < 8): dithered trilinear via
+    # _stochastic_corner_plan — unbiased for the exact interpolation, with
+    # leader+residual variance reduction at k >= 2. Gather volume for the
+    # hashed levels (45% of the tuned v5e step, docs/PERF.md) shrinks by
+    # 8/k. TRAIN-ONLY (see _draw_corners): eval/extract/render paths
+    # construct specs with fwd_corners=8 (nerfjax.train.build_fields gates
+    # the knob behind train=True).
+    sel, coef = _stochastic_corner_plan(hashed, x, y, z, idx.reshape(Lh, 8, N), fwd)
     words = jnp.take(packed, sel.reshape(-1), axis=0).reshape(fwd, Lh, N)
     f0, f1 = _unpack_pairs(words)
-    inv = np.float32(1.0 / fwd)
-    e0 = jnp.sum(f0, axis=0) * inv  # [Lh, N]
-    e1 = jnp.sum(f1, axis=0) * inv
+    e0 = jnp.sum(f0 * coef, axis=0)  # [Lh, N]
+    e1 = jnp.sum(f1 * coef, axis=0)
     return jnp.stack([e0, e1]), (x, y, z)
 
 
@@ -240,23 +281,21 @@ def _hash_levels_bwd(spec, res, g):
     k = int(getattr(spec, "grad_corners", 8))
     fwd = int(getattr(spec, "fwd_corners", 8))
     if fwd < 8:
-        # Backward of the stochastic forward: the estimator mean_j f_{c_j}
-        # is linear in the table, so its exact VJP scatters g/fwd to each
-        # DRAWN corner. _draw_corners is deterministic in the position
-        # bits, so replaying the sequence reproduces the forward's corners
-        # without residuals. grad_corners < fwd additionally subsamples to
-        # the first b draws with g/b — unbiased for the true trilinear
-        # gradient by the same cancellation as the k-corner estimator
-        # below (the draws are iid, so any prefix is a valid sample).
+        # Backward of the stochastic forward. The estimator is linear in
+        # the table, so its exact VJP scatters coef_j * g to each planned
+        # corner; _stochastic_corner_plan is deterministic in the position
+        # bits, so re-planning with b == fwd reproduces exactly the
+        # forward's (sel, coef) without residuals. grad_corners < fwd
+        # instead re-plans with b draws — a different but equally unbiased
+        # estimate of the true trilinear gradient (precedent: the k<8
+        # backward under the exact forward is already an independent
+        # estimator, not the forward's VJP).
         b = min(k, fwd)
-        w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
-        cdf = jnp.cumsum(w, axis=1)
         idx3 = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
-        draws = _draw_corners(x, y, z, cdf, Lh, b)  # prefix of fwd's draws
-        sel = _select_drawn_indices(idx3, draws).reshape(-1)  # [b*Lh*N]
-        inv_b = np.float32(1.0 / b)
-        gv0 = jnp.broadcast_to(g[0][None] * inv_b, (b, Lh, N)).reshape(-1)
-        gv1 = jnp.broadcast_to(g[1][None] * inv_b, (b, Lh, N)).reshape(-1)
+        sel, coef = _stochastic_corner_plan(hashed, x, y, z, idx3, b)
+        sel = sel.reshape(-1)
+        gv0 = (g[0][None] * coef).reshape(-1)
+        gv1 = (g[1][None] * coef).reshape(-1)
         grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
         grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
         return jnp.stack([grad0, grad1]), None, None, None
@@ -273,15 +312,15 @@ def _hash_levels_bwd(spec, res, g):
         # positions get no gradient (matches tcnn: no dL/dx through the grid)
         return jnp.stack([grad0, grad1]), None, None, None
 
-    # Stochastic corner gradient (grad_corners = k < 8): per (level, point),
-    # draw k corners with probability = trilinear weight and scatter g/k.
-    # UNBIASED: E[sum_j (g/k) * 1[c_j = c]] = sum_j (g/k) * w_c summed over
-    # draws = g * w_c — exactly the dense update — because the 8 trilinear
-    # weights sum to 1 (the inverse-probability factor w_c/p_c cancels).
-    # The scatter volume, 68% of the v5e train step at k=8 (docs/PERF.md),
-    # shrinks by 8/k. Randomness derives from the position bits: sample
-    # positions are re-jittered every training step, so draws decorrelate
-    # across steps without threading an explicit key through the VJP.
+    # Stochastic corner gradient (grad_corners = k < 8): scatter coef_j * g
+    # to the k planned corners (_stochastic_corner_plan: k=1 iid draw,
+    # k>=2 leader+residual). UNBIASED for the dense update g * w_c — the
+    # inverse-probability factor cancels (k=1), resp. the leader term is
+    # exact and the residual draws cancel over wr (k>=2). The scatter
+    # volume, 68% of the v5e train step at k=8 (docs/PERF.md), shrinks by
+    # 8/k. Randomness derives from the position bits: sample positions are
+    # re-jittered every training step, so draws decorrelate across steps
+    # without threading an explicit key through the VJP.
     # TRAIN-ONLY assumption: with a deterministic (un-jittered) sampler, or
     # duplicate positions within a batch, the same corners are drawn every
     # time and the estimator noise correlates across steps — use
@@ -290,13 +329,10 @@ def _hash_levels_bwd(spec, res, g):
     # constructor defaults to exact, and eval/render paths never call the
     # VJP at all.
     idx = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
-    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
-    cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0
-    draws = _draw_corners(x, y, z, cdf, Lh, k)  # [k, Lh, N]
-    sel = _select_drawn_indices(idx, draws).reshape(-1)  # [k*Lh*N]
-    inv_k = np.float32(1.0 / k)
-    gv0 = jnp.broadcast_to(g[0][None] * inv_k, (k, Lh, N)).reshape(-1)
-    gv1 = jnp.broadcast_to(g[1][None] * inv_k, (k, Lh, N)).reshape(-1)
+    sel, coef = _stochastic_corner_plan(hashed, x, y, z, idx, k)
+    sel = sel.reshape(-1)  # [k*Lh*N]
+    gv0 = (g[0][None] * coef).reshape(-1)
+    gv1 = (g[1][None] * coef).reshape(-1)
     grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
     grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
     return jnp.stack([grad0, grad1]), None, None, None
