@@ -74,7 +74,17 @@ EVAL_RAYS = 4096
 
 def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
          nerf_type: str = "medium"):
+    import re
+
     from nerfjax.config import ConfigNode, with_defaults
+
+    # "f<k>" suffix on any arm = hash_fwd_corners=k (stochastic dithered-
+    # trilinear forward; leader+residual for k>=2). The base arm fixes
+    # every other knob.
+    fwd_corners = 8
+    m = re.fullmatch(r"(.+?)f([1-7])", arm)
+    if m:
+        arm, fwd_corners = m.group(1), int(m.group(2))
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
                         "spass12L", "spass12L32", "spass12Led2", "spass10Led2",
@@ -115,6 +125,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                     2 if arm in ("spass12Led2", "spass10Led2",
                                  "spass12Led2k1") else 0
                 ),
+                "hash_fwd_corners": fwd_corners,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -216,7 +227,10 @@ def main() -> None:
     p.add_argument("--arm",
                    choices=["uniform", "occupancy", "sgrad2", "spass2", "spass1",
                             "spass8", "spass12L", "spass12L32", "spass12Led2",
-                            "spass10Led2", "spass12Led2k1"],
+                            "spass10Led2", "spass12Led2k1",
+                            # stochastic-forward probes of the tuned arm
+                            # (f<k> suffix = hash_fwd_corners=k)
+                            "spass12Led2k1f2", "spass12Led2k1f1"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
