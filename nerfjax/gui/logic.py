@@ -92,6 +92,7 @@ def generate_config_dict(values: dict) -> dict:
         ("occ_update_every", int),
         ("precision", str),
         ("hash_grad_corners", int),
+        ("hash_fwd_corners", int),
         ("hash_n_levels", int),
         ("hash_extra_dense_levels", int),
         ("single_pass", bool),
