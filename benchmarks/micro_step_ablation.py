@@ -97,6 +97,9 @@ def main():
     p.add_argument("--fwd", type=int, default=8,
                    help="hash_fwd_corners for the 'full' arm (8 = exact; "
                         "<8 = stochastic dithered-trilinear forward)")
+    p.add_argument("--only-full", action="store_true",
+                   help="time only the real train step (skip ablation arms) "
+                        "— quick throughput probe of one op point")
     args = p.parse_args()
 
     mesh = make_mesh()
@@ -157,6 +160,8 @@ def main():
     )
 
     run("full")
+    if args.only_full:
+        return
 
     def no_hash_bwd(spec, hp, x, y, z):
         return jax.lax.stop_gradient(orig(spec, hp, x, y, z))
