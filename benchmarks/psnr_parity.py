@@ -191,6 +191,8 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
     result = train(cfg, seed=seed, log_every=100)
     wall = time.perf_counter() - t0
     psnr = _eval_psnr(cfg, result["params"], scene)
+    import jax
+
     row = {
         "scene": scene,
         "seed": seed,
@@ -201,6 +203,7 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
         "wall_s": round(wall, 1),
         "rays_per_sec": round(result["rays_per_sec"], 1),
         "eval_psnr": round(psnr, 3),
+        "platform": jax.default_backend(),
     }
     print(json.dumps(row))
     existing = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
@@ -238,7 +241,13 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--uniform-steps", type=int, default=200)
     p.add_argument("--suite", action="store_true")
+    p.add_argument("--out", type=Path, default=None,
+                   help="append rows to this JSON instead of "
+                        "psnr_parity.json (e.g. CPU-platform side studies)")
     args = p.parse_args()
+    if args.out is not None:
+        global RESULTS
+        RESULTS = args.out
 
     if args.suite:
         done = (
