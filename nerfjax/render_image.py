@@ -78,6 +78,38 @@ def render_image(
     return out.reshape(H, W, 3)
 
 
+def orbit_poses(
+    n: int,
+    *,
+    radius: float = 2.5,
+    height: float = 1.2,
+    target: np.ndarray | None = None,
+) -> np.ndarray:
+    """[n, 4, 4] OpenGL c2w look-at poses on a horizontal circle around the
+    scene (novel views for turntable renders; same convention as the
+    transforms JSON frames — camera looks down −Z, +Z world up)."""
+    target = np.zeros(3) if target is None else np.asarray(target, np.float64)
+    poses = np.empty((n, 4, 4), np.float32)
+    for i in range(n):
+        ang = 2 * np.pi * i / n
+        cam = np.array([radius * np.cos(ang), radius * np.sin(ang), height])
+        fwd = target - cam
+        fwd = fwd / np.linalg.norm(fwd)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        if np.linalg.norm(right) < 1e-8:  # looking straight up/down
+            right = np.array([1.0, 0.0, 0.0])
+        right = right / np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = true_up
+        c2w[:3, 2] = -fwd
+        c2w[:3, 3] = cam
+        poses[i] = c2w
+    return poses
+
+
 def eval_psnr(
     field,
     params,

@@ -72,6 +72,19 @@ def test_full_pipeline(scene, monkeypatch):
     final = tmp_path / "outputs" / name / "checkpoints" / "nerf_final.pth"
     assert final.exists()
 
+    _run_cli(
+        "nerfjax.cli.render",
+        monkeypatch,
+        ["--cfg_path", cfg_path, "--frame", "0", "--orbit", "2", "--samples", "8",
+         "--importance", "8"],
+    )
+    renders = tmp_path / "outputs" / name / "renders"
+    from PIL import Image
+
+    for fname in ("frame_0000.png", "orbit_0000.png", "orbit_0001.png"):
+        assert (renders / fname).exists()
+        assert Image.open(renders / fname).size == (24, 24)
+
     _run_cli("nerfjax.cli.extract_vol", monkeypatch, ["--cfg_path", cfg_path])
     vol_path = tmp_path / "outputs" / name / "volume.pth"
     assert vol_path.exists()

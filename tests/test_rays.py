@@ -123,3 +123,24 @@ def test_precompute_roundtrip(tmp_path):
     back = load_ray_data(npz)
     for k in data:
         np.testing.assert_array_equal(back[k], data[k])
+
+
+def test_orbit_poses_look_at_origin():
+    from nerfjax.render_image import orbit_poses
+
+    poses = orbit_poses(8, radius=2.5, height=1.2)
+    assert poses.shape == (8, 4, 4)
+    for c2w in poses:
+        R = c2w[:3, :3]
+        # orthonormal rotation
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) > 0.99
+        # camera sits on the orbit
+        np.testing.assert_allclose(
+            np.linalg.norm(c2w[:2, 3]), 2.5, rtol=1e-5
+        )
+        np.testing.assert_allclose(c2w[2, 3], 1.2, rtol=1e-5)
+        # -Z (OpenGL forward) points at the origin
+        fwd = -R[:, 2]
+        to_origin = -c2w[:3, 3] / np.linalg.norm(c2w[:3, 3])
+        np.testing.assert_allclose(fwd, to_origin, atol=1e-5)
