@@ -25,6 +25,9 @@ CAND_ARMS = ["spass12Led2k1f2", "spass12Led2k1f1"]
 
 
 def benched_rows(rows: list[dict], arm: str) -> list[dict]:
+    """Rows at the exact benched shape: NGP-large, batch 8192, 600 steps,
+    sphere, measured ON the TPU — CPU side studies and medium-model rows
+    must not satisfy the pre-registered rule."""
     return [
         r
         for r in rows
@@ -32,6 +35,8 @@ def benched_rows(rows: list[dict], arm: str) -> list[dict]:
         and r["scene"] == "sphere"
         and r["batch"] == 8192
         and r["steps"] == 600
+        and (r.get("nerf_type") or "medium") == "large"
+        and r.get("platform", "tpu") not in ("cpu",)
     ]
 
 

@@ -181,10 +181,13 @@ def main():
     finally:
         he._dense_levels_encode = orig_dense
 
-    # stochastic corner gradients (unbiased k-of-8 sampling)
+    # stochastic corner gradients (unbiased k-of-8 sampling); train=True so
+    # a --fwd <8 run keeps the stochastic forward in these arms too (the
+    # k-sweep isolates the backward delta only if the forward cost matches
+    # the "full" arm's)
     for k in (4, 2, 1):
         cfg_k = cfg.merge({"hash_grad_corners": k})
-        fck, ffk, _ = build_fields(cfg_k)
+        fck, ffk, _ = build_fields(cfg_k, train=True)
         run(f"sgrad-k{k}", fields=(fck, ffk))
 
     if args.forward_arms:

@@ -213,7 +213,8 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
             r["scene"] == scene
             and r["seed"] == seed
             and r["arm"] == arm
-            and r.get("nerf_type", "medium") == nerf_type
+            # early rows recorded nerf_type as None (= the medium default)
+            and (r.get("nerf_type") or "medium") == nerf_type
             and r.get("batch", 2048) == batch
         )
     ]
@@ -250,8 +251,15 @@ def main() -> None:
         RESULTS = args.out
 
     if args.suite:
+        # rows are multi-shape: key the dedup on the SAME shape the suite
+        # runs at (medium + args.batch), or benched-shape rows would mark
+        # suite cells done
         done = (
-            {(r["scene"], r["seed"], r["arm"]) for r in json.loads(RESULTS.read_text())}
+            {
+                (r["scene"], r["seed"], r["arm"],
+                 r.get("nerf_type") or "medium", r.get("batch", 2048))
+                for r in json.loads(RESULTS.read_text())
+            }
             if RESULTS.exists()
             else set()
         )
@@ -264,7 +272,7 @@ def main() -> None:
                           "spass8")
                 )
                 for arm in arms:
-                    if (scene, seed, arm) in done:
+                    if (scene, seed, arm, "medium", args.batch) in done:
                         print(f"skip {scene} s{seed} {arm} (done)")
                         continue
                     steps = (

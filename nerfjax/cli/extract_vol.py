@@ -92,7 +92,11 @@ def main() -> None:
             from nerfjax.gui.viewers import display_pointcloud
             from nerfjax.postprocess import volume_to_points
 
-            pts, rgbs = volume_to_points(vol["occupancy_volume"], vol["rgb_volume"])
+            pts, rgbs = volume_to_points(
+                vol["occupancy_volume"],
+                vol["rgb_volume"],
+                vol.get("metadata", {}).get("rgb_global_max"),
+            )
             display_pointcloud(
                 pts, rgbs, title="extracted volume", max_points=args.viz_max_points
             )

@@ -184,7 +184,13 @@ def load_volume_any(path: str | Path) -> tuple[np.ndarray, np.ndarray, dict | No
     if "occupancy_volume" in data:
         from nerfjax.postprocess import volume_to_points
 
-        pts, rgbs = volume_to_points(data["occupancy_volume"], data["rgb_volume"])
+        # sparse-fetched volumes zero unoccupied RGB; the recorded global
+        # max keeps the normalizer identical to a dense fetch
+        pts, rgbs = volume_to_points(
+            data["occupancy_volume"],
+            data["rgb_volume"],
+            data.get("metadata", {}).get("rgb_global_max"),
+        )
         return pts.astype(np.float32), rgbs.astype(np.float32), None
     raise ValueError(f"Unrecognized volume file format: {path}")
 

@@ -66,6 +66,9 @@ def build_fields(cfg: ConfigNode, train: bool = False):
         fwd_corners = int(cfg.get("hash_fwd_corners", 8)) if train else 8
         if not 1 <= fwd_corners <= 8:
             raise ValueError(f"hash_fwd_corners must be in 1..8, got {fwd_corners}")
+        n_levels = int(cfg.get("hash_n_levels", 16))
+        if n_levels < 1:
+            raise ValueError(f"hash_n_levels must be >= 1, got {n_levels}")
         field = InstantNGP(
             nerf_type=cfg.get("nerf_type", "large"),
             grad_corners=int(cfg.get("hash_grad_corners", 8)),
@@ -74,10 +77,31 @@ def build_fields(cfg: ConfigNode, train: bool = False):
             # grids (16 levels reach res ~7000^3 — far beyond the 512^3
             # volume this pipeline ever extracts) and shrink the gather/
             # scatter volume that dominates the v5e step (docs/PERF.md).
-            n_levels=int(cfg.get("hash_n_levels", 16)),
+            n_levels=n_levels,
             per_level_scale=float(cfg.get("hash_per_level_scale", 1.5)),
             extra_dense_levels=int(cfg.get("hash_extra_dense_levels", 0)),
         )
+        # Fail loudly on extreme promotions instead of an opaque trace-time
+        # IndexError (no hashed levels left) or a silent device OOM (a
+        # promoted res^3 table tens of times the hash table size).
+        levels = field.spec.level_params()
+        if not any(lv["use_hash"] for lv in levels):
+            raise ValueError(
+                f"hash_extra_dense_levels={field.extra_dense_levels} promotes "
+                f"every level of the {n_levels}-level grid to dense storage — "
+                "no hashed levels remain; lower it (the measured-useful range "
+                "is 1-2, docs/PERF.md)"
+            )
+        worst = max(
+            (lv for lv in levels if not lv["use_hash"]), key=lambda lv: lv["size"]
+        )
+        if worst["size"] > (1 << 26):  # 67M entries/level ≈ 0.5 GB fp32+Adam
+            raise ValueError(
+                f"hash_extra_dense_levels={field.extra_dense_levels} would "
+                f"store a res-{worst['res']} level dense ({worst['size']:,} "
+                "entries) — that OOMs devices; lower it (measured-useful "
+                "range is 1-2, docs/PERF.md)"
+            )
         return field, field, True
     field = VanillaNeRF(
         pos_L=cfg.get("pos_L", 10),
@@ -459,11 +483,28 @@ def train(
     start_epoch = 1
 
     if resume:
-        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        # Only the lead resolves/reads checkpoints: it is the only writer,
+        # so on a non-shared filesystem other processes may not see them.
+        # The restored state is then agreed globally — otherwise processes
+        # could start at different epochs and their collective sequences
+        # would diverge (deadlock).
+        latest = ckpt.latest_checkpoint(checkpoint_dir) if is_lead else None
+        restored_epoch = 0
         if latest is not None:
             params, opt_state, restored_epoch = ckpt.restore_train_state(
                 latest, cfg, params, opt_state
             )
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            restored_epoch = int(
+                multihost_utils.broadcast_one_to_all(np.int32(restored_epoch))
+            )
+            if restored_epoch > 0:
+                params, opt_state = multihost_utils.broadcast_one_to_all(
+                    (params, opt_state)
+                )
+        if restored_epoch > 0:
             start_epoch = restored_epoch + 1
             step = jnp.asarray(restored_epoch * steps_per_epoch, jnp.int32)
             if is_lead:
@@ -514,23 +555,30 @@ def train(
 
     save_threads: list[threading.Thread] = []
 
+    # Hoisted once: a fresh jit(lambda) per save would re-trace the
+    # replication program every checkpoint (jit caches key on the function
+    # object). Tree structure/shapes are stable across steps, so the
+    # out_shardings computed from the initial state stay valid.
+    _to_repl = None
+    if pc > 1:
+        repl = replicated_sharding(mesh)
+        _to_repl = jax.jit(
+            lambda p, o: (p, o),
+            out_shardings=(
+                jax.tree_util.tree_map(lambda _: repl, params),
+                jax.tree_util.tree_map(
+                    lambda x: repl if hasattr(x, "dtype") else None,
+                    opt_state,
+                ),
+            ),
+        )
+
     def _save_snapshot():
         """On-device snapshot; in multi-host runs the snapshot is forced
         fully-replicated (a collective all processes run) so process 0 can
         fetch TP-sharded tables to host."""
-        if pc > 1:
-            repl = replicated_sharding(mesh)
-            to_repl = jax.jit(
-                lambda p, o: (p, o),
-                out_shardings=(
-                    jax.tree_util.tree_map(lambda _: repl, params),
-                    jax.tree_util.tree_map(
-                        lambda x: repl if hasattr(x, "dtype") else None,
-                        opt_state,
-                    ),
-                ),
-            )
-            return to_repl(params, opt_state)
+        if _to_repl is not None:
+            return _to_repl(params, opt_state)
         snap_p = jax.tree_util.tree_map(lambda x: x + 0, params)
         snap_o = jax.tree_util.tree_map(
             lambda x: x + 0 if hasattr(x, "dtype") else x, opt_state

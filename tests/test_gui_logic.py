@@ -153,6 +153,24 @@ def test_load_volume_any_both_formats(tmp_path):
     assert aabb2["aabb_remove_below"] == -0.5
 
 
+def test_load_volume_any_sparse_fetch_normalizer(tmp_path):
+    """Sparse-fetched volumes zero unoccupied RGB; the viewer must divide by
+    metadata['rgb_global_max'] (the pre-compaction max), not the compacted
+    volume's max — identical colors to a dense fetch of the same scene."""
+    occ = np.zeros((4, 4, 4), np.uint8)
+    occ[1, 1, 1] = 1
+    rgbv = np.zeros((4, 4, 4, 3), np.float32)
+    rgbv[1, 1, 1] = [0.5, 0.25, 0.0]  # occupied max = 0.5, global max = 2.0
+    p = tmp_path / "volume.pth"
+    pth.save(
+        {"occupancy_volume": occ, "rgb_volume": rgbv,
+         "metadata": {"rgb_global_max": 2.0}},
+        p,
+    )
+    _, rgbs, _ = load_volume_any(p)
+    np.testing.assert_allclose(rgbs[0], [0.25, 0.125, 0.0], atol=1e-6)
+
+
 def test_slice_and_clip():
     pts = np.array([[0, 0, -0.9], [0, 0, 0.0], [0, 0, 0.9]], np.float32)
     rgbs = np.eye(3, dtype=np.float32)

@@ -43,18 +43,34 @@ from nerfjax.config import ConfigNode, with_defaults
 from nerfjax.train import train
 
 tmp = sys.argv[4]
-cfg = with_defaults(ConfigNode({{
+mode = sys.argv[5]
+base = {{
     "scene_name": "mh",
     "ngp": True, "nerf_type": "small",
     "batch_size": 64, "num_epochs": 1, "lr": 5e-3,
     "N_samples": 4, "N_importance": 4, "precision": "fp32",
     "occupancy_grid": False, "hash_grad_corners": 8,
-    "shard_hash_table": sys.argv[5] == "tp",
+    "shard_hash_table": mode == "tp",
     "rays_file": os.path.join(tmp, "rays.npz"),
     "output_dir": os.path.join(tmp, "out"),
     "checkpoint_dir": os.path.join(tmp, "out", "ckpt"),
-}}))
-res = train(cfg, seed=0, log_every=1)
+}}
+if mode == "resume":
+    # phase 1: 2 epochs -> lead writes nerf_epoch_000002.pth
+    train(with_defaults(ConfigNode(dict(base, num_epochs=2))), seed=0,
+          log_every=1000)
+    # phase 2: resume with a NON-SHARED checkpoint_dir — only the lead's
+    # filesystem contains the checkpoint; process 1's dir is empty. The
+    # restored epoch/params must still be agreed globally or the
+    # processes' collective sequences diverge.
+    ckdir = (os.path.join(tmp, "out", "ckpt") if pid == 0
+             else os.path.join(tmp, "p1_local_empty"))
+    res = train(
+        with_defaults(ConfigNode(dict(base, num_epochs=3, checkpoint_dir=ckdir))),
+        seed=0, log_every=1000, resume=True,
+    )
+else:
+    res = train(with_defaults(ConfigNode(base)), seed=0, log_every=1)
 print("MHRESULT " + json.dumps({{
     "process": pi,
     "loss": res["metrics"].get("loss_total") if res["metrics"] else None,
@@ -82,6 +98,16 @@ def test_two_process_tensor_parallel_table(tmp_path):
     table; the pre-save all-gather collective (train._save_snapshot) is
     what makes the checkpoint writable by process 0 at all."""
     _run_two_process(tmp_path, mode="tp")
+
+
+@pytest.mark.slow
+def test_two_process_resume_non_shared_fs(tmp_path):
+    """Resume on a pod whose checkpoint_dir is NOT a shared filesystem:
+    only the lead sees the checkpoint it wrote; the restored epoch and
+    params must be broadcast so both processes take identical step
+    sequences (divergent start epochs deadlock the collectives)."""
+    outs = _run_two_process(tmp_path, mode="resume")
+    assert any("Resumed from" in o for o in outs), outs[0][-2000:]
 
 
 def _run_two_process(tmp_path, mode):
@@ -147,3 +173,4 @@ def _run_two_process(tmp_path, mode):
     assert np.isfinite(results[0]["loss"])
     assert results[1]["loss"] is None
     assert (tmp_path / "out" / "ckpt" / "nerf_final.pth").exists()
+    return outs

@@ -378,3 +378,26 @@ def test_table_shardings_match_by_path_not_shape():
             assert sh == repl
             saw_decoy_moment = True
     assert saw_table_moment and saw_decoy_moment
+
+
+def test_extreme_level_knobs_fail_loudly():
+    from nerfjax.train import build_fields
+
+    def cfg_of(**kw):
+        return with_defaults(ConfigNode({"scene_name": "x", "ngp": True, **kw}))
+
+    with pytest.raises(ValueError, match="hash_n_levels"):
+        build_fields(cfg_of(hash_n_levels=0))
+    # promoting every level to dense leaves no hashed level
+    with pytest.raises(ValueError, match="no hashed levels"):
+        build_fields(cfg_of(nerf_type="small", hash_n_levels=12,
+                            hash_extra_dense_levels=12))
+    # a promoted res^3 table past the per-level cap is an OOM trap
+    with pytest.raises(ValueError, match="OOMs"):
+        build_fields(cfg_of(nerf_type="large", hash_n_levels=16,
+                            hash_extra_dense_levels=6))
+    # the measured-useful configs stay valid (small/medium ed2 = the
+    # parity-protocol arms; large 12L+ed2 = the tuned headline)
+    for nt in ("small", "medium", "large"):
+        build_fields(cfg_of(nerf_type=nt, hash_n_levels=12,
+                            hash_extra_dense_levels=2))
