@@ -5,19 +5,22 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12Led2_single_pass48_sgrad1`: the round-3 tuned op
-    point (cfg/blender_scene_tuned.yml) — single-pass occupancy sampling
-    (all 48 samples/ray drawn from the occupancy-grid CDF, no coarse
-    network pass — instant-ngp's actual design) + unbiased stochastic
-    corner gradients (hash_grad_corners=1) + 12 hash levels (drops the 4
-    finest levels, whose res 1846-6231 exceeds any 512^3 extraction) + 2
-    promoted dense levels (res-81/res-122 stored collision-free as
-    cell-rows: 1 width-16 gather replaces 8 width-1 gathers, backward
-    scatter-free). PSNR in-spread with the 16-level reference shape —
-    spass12L / spass12Led2 / spass12Led2k1 arms, psnr_parity.json; at
-    this exact NGP-large/8192 shape the k=1 and k=2 tuned arms are
-    statistically identical across 3 seeds (both mean 33.32 dB vs 30.42
-    uniform), so k=1's +10.4% throughput is a free win in expectation.
+  * headline `tuned12Led2_single_pass48_sgrad1_fwd1`: the round-4 tuned
+    op point (cfg/blender_scene_tuned.yml) — single-pass occupancy
+    sampling (all 48 samples/ray drawn from the occupancy-grid CDF, no
+    coarse network pass — instant-ngp's actual design) + unbiased
+    stochastic corner gradients (hash_grad_corners=1) + stochastic
+    1-corner dithered-trilinear FORWARD (hash_fwd_corners=1, train-only)
+    + 12 hash levels (drops the 4 finest levels, whose res 1846-6231
+    exceeds any 512^3 extraction) + 2 promoted dense levels
+    (res-81/res-122 stored collision-free as cell-rows: 1 width-16
+    gather replaces 8 width-1 gathers, backward scatter-free). PSNR
+    in-spread with the 16-level reference shape — spass12L/spass12Led2/
+    spass12Led2k1/spass12Led2k1f1 arms, psnr_parity.json; at this exact
+    NGP-large/8192 shape across 3 seeds the f1 arm means 33.99 dB vs
+    the exact forward's 33.32 and uniform's 30.42, adopted by the
+    pre-registered rule (benchmarks/fwd_decision.py: +66.2% throughput,
+    psnr_ok AND tput_ok).
     A ray here costs far less field work than the reference's 256-sample
     ray, so rays/s is NOT comparable 1:1 with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
@@ -43,12 +46,24 @@ Baseline: the reference publishes no numbers (BASELINE.md). Two anchors:
     zero torch/Python overhead); the realistic estimate from the
     launch-overhead decomposition in BASELINE.md is 70-130k rays/s.
     North-star status (stated plainly): the drop-in point is ~0.05-0.1x
-    of the realistic reference-GPU estimate on one v5e chip; the
-    single-pass point x8 chips is ~0.7-1.3x of it. The >=5x target is
-    met only under the PSNR-per-wall-clock reframing (docs/PERF.md).
+    of the realistic reference-GPU estimate on one v5e chip; the round-4
+    tuned point (43.8k rays/s/chip) x 8 chips is ~2.7-5.0x of it on raw
+    throughput, and >=5x under PSNR-per-wall-clock (docs/PERF.md) since
+    the tuned point reaches equal-or-better PSNR than the drop-in
+    sampling in the same step count.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
 "secondary": {...}}.
+
+Exit-status contract: the process exits 0 even when a watchdog fires, so
+the driver always receives and parses the JSON line; callers MUST detect
+failure by inspecting the "error" field / null "value"s, not the exit
+status (a non-zero exit risks the driver discarding the partial artifact).
+
+Watchdog budget arithmetic (round-3 verdict fix): worst case
+600 (init dog) + 1100 (headline) + 500 (retry) + 500 (sp16) + 500
+(drop-in) = 3200 s < the 3300 s whole-run failsafe, so every op point
+gets an attempt before the failsafe can fire.
 """
 
 from __future__ import annotations
@@ -69,7 +84,7 @@ REF_RAYS_PER_SEC = 400_000.0
 # measurement windows; a dead tunnel at bench time should not erase the
 # round's real numbers from the artifact.
 LAST_MEASURED = {
-    "tuned12Led2_single_pass48_sgrad1": 26795.0,
+    "tuned12Led2_single_pass48_sgrad1_fwd1": 43775.0,
     "single_pass48_sgrad2": 11336.5,
     "drop_in_64_192_exact": 1045.2,
     "note": "previous clean-session v5e-1 measurement (docs/PERF.md); "
@@ -169,7 +184,7 @@ def _payload(error: str | None = None) -> str:
     return json.dumps(
         {
             **_rec(
-                "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1",
+                "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1_fwd1",
                 _STATE["tuned"], error,
             ),
             "secondary": _rec(
@@ -262,11 +277,12 @@ def main() -> None:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
 
-    # headline: the round-3 TUNED op point — single-pass 48 samples,
-    # stochastic k=1 grads, 12 hash levels, 2 promoted dense levels
-    # (cfg/blender_scene_tuned.yml; PSNR in-spread with the 16-level
-    # reference shape per the spass12L/spass12Led2/spass12Led2k1 parity
-    # arms, 3 seeds at this exact shape)
+    # headline: the round-4 TUNED op point — single-pass 48 samples,
+    # stochastic k=1 grads, stochastic 1-corner forward, 12 hash levels,
+    # 2 promoted dense levels (cfg/blender_scene_tuned.yml; PSNR
+    # in-spread-or-better per the spass12L/spass12Led2/spass12Led2k1/
+    # spass12Led2k1f1 parity arms, 3 seeds at this exact shape —
+    # benchmarks/fwd_decision.py ADOPT verdict)
     def _measure_tuned():
         return _measure(
             jax,
@@ -277,25 +293,26 @@ def main() -> None:
                 "hash_n_levels": 12,
                 "hash_extra_dense_levels": 2,
                 "hash_grad_corners": 1,
+                "hash_fwd_corners": 1,
             },
             warmup=3,
             steps=20,
         )
 
-    _STATE["tuned"] = _bounded(1500, _measure_tuned)
+    _STATE["tuned"] = _bounded(1100, _measure_tuned)
     if _STATE["tuned"] is None:  # one retry — transient tunnel stalls do recover
-        _STATE["tuned"] = _bounded(600, _measure_tuned)
+        _STATE["tuned"] = _bounded(500, _measure_tuned)
 
     # the same op point at the reference's 16-level model shape
     # (round-2-comparable number)
     _STATE["sp16"] = _bounded(
-        900, lambda: _measure(jax, mesh, {**base, **single_pass}, warmup=3, steps=20)
+        500, lambda: _measure(jax, mesh, {**base, **single_pass}, warmup=3, steps=20)
     )
 
     # the reference's drop-in op point (uniform 64+192 samples, exact
     # backward) — ~10 s/step, so few steps
     _STATE["drop_in"] = _bounded(
-        900,
+        500,
         lambda: _measure(
             jax,
             mesh,

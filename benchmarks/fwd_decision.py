@@ -65,8 +65,16 @@ def main() -> None:
     if not base:
         raise SystemExit(f"no benched-shape rows for baseline arm {BASE_ARM}")
     bp = [r["eval_psnr"] for r in base]
+    if len(bp) < 3:
+        # The pre-registered rule demands the same evidence bar on both
+        # sides: 3 benched-shape seeds for the baseline spread as for the
+        # candidates (round-3 advisor finding — no n=1 fallback spread).
+        raise SystemExit(
+            f"baseline arm {BASE_ARM} has only {len(bp)} benched-shape "
+            "rows; the pre-registered rule requires >= 3 seeds"
+        )
     mean_b = sum(bp) / len(bp)
-    half_range = (max(bp) - min(bp)) / 2 if len(bp) > 1 else 0.25
+    half_range = (max(bp) - min(bp)) / 2
     lo = min(bp) - half_range
     print(
         f"baseline {BASE_ARM}: n={len(bp)} psnr={[round(v, 2) for v in bp]} "

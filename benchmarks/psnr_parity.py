@@ -134,15 +134,24 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     )
 
 
-def _ensure_rays(scene: str, n_rays: int, seed: int) -> Path:
+def _ensure_rays(
+    scene: str, n_rays: int, seed: int, photometric: bool = False
+) -> Path:
     import numpy as np
 
-    from synthetic import make_ray_npz
+    from synthetic import make_photometric_ray_npz, make_ray_npz
 
     OUT.mkdir(parents=True, exist_ok=True)
-    path = OUT / f"rays_{scene}_s{seed}_{n_rays}.npz"
+    suffix = "_photo" if photometric else ""
+    path = OUT / f"rays_{scene}{suffix}_s{seed}_{n_rays}.npz"
     if not path.exists():
-        make_ray_npz(path, n_rays=n_rays, seed=seed, scene=scene)
+        if photometric:
+            # corrupted-capture robustness arm (round-3 verdict #4): the
+            # TRAINING targets carry per-frame exposure drift, sensor
+            # noise, and angular blur; eval stays against the clean oracle
+            make_photometric_ray_npz(path, n_rays=n_rays, seed=seed, scene=scene)
+        else:
+            make_ray_npz(path, n_rays=n_rays, seed=seed, scene=scene)
     return path
 
 
@@ -176,7 +185,7 @@ def _eval_psnr(cfg, params, scene: str) -> float:
 
 
 def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
-            nerf_type: str = "medium") -> dict:
+            nerf_type: str = "medium", photometric: bool = False) -> dict:
     from nerfjax.train import train
     from nerfjax.utils.cache import enable_compilation_cache
 
@@ -185,7 +194,10 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
     tag = f"{scene}_s{seed}_{arm}"
     if nerf_type != "medium":
         tag = f"{tag}_{nerf_type}_b{batch}"
-    rays = _ensure_rays(scene, batch * STEPS_PER_EPOCH, seed)
+    if photometric:
+        tag = f"{tag}_photo"
+    rays = _ensure_rays(scene, batch * STEPS_PER_EPOCH, seed,
+                        photometric=photometric)
     cfg = _cfg(tag, arm, batch, steps, rays, nerf_type=nerf_type)
     t0 = time.perf_counter()
     result = train(cfg, seed=seed, log_every=100)
@@ -205,6 +217,8 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
         "eval_psnr": round(psnr, 3),
         "platform": jax.default_backend(),
     }
+    if photometric:
+        row["photometric"] = True
     print(json.dumps(row))
     existing = json.loads(RESULTS.read_text()) if RESULTS.exists() else []
     existing = [
@@ -216,6 +230,7 @@ def run_one(scene: str, seed: int, arm: str, steps: int, batch: int,
             # early rows recorded nerf_type as None (= the medium default)
             and (r.get("nerf_type") or "medium") == nerf_type
             and r.get("batch", 2048) == batch
+            and bool(r.get("photometric")) == photometric
         )
     ]
     existing.append(row)
@@ -238,6 +253,11 @@ def main() -> None:
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
+    p.add_argument("--photometric", action="store_true",
+                   help="train on photometrically corrupted targets "
+                        "(per-frame exposure drift + sensor noise + angular "
+                        "blur; tests/synthetic.py make_photometric_ray_npz); "
+                        "eval stays against the clean oracle")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--uniform-steps", type=int, default=200)
@@ -287,7 +307,7 @@ def main() -> None:
         args.uniform_steps if args.arm == "uniform" else 3 * args.uniform_steps
     )
     run_one(args.scene, args.seed, args.arm, steps, args.batch,
-            nerf_type=args.nerf_type)
+            nerf_type=args.nerf_type, photometric=args.photometric)
 
 
 if __name__ == "__main__":

@@ -59,8 +59,16 @@ def main() -> None:
         meta = json.load(f)
     H, W = int(meta["h"]), int(meta["w"])
     K = np.array(meta["K"], np.float32)
-    n_samples = args.samples or int(cfg.get("N_samples", 64))
-    n_importance = args.importance or int(cfg.get("N_importance", 128))
+    # `is not None` (not truthiness) so an explicit 0 errors instead of
+    # silently falling back to the cfg default (round-3 advisor finding).
+    n_samples = args.samples if args.samples is not None else int(cfg.get("N_samples", 64))
+    n_importance = (
+        args.importance if args.importance is not None else int(cfg.get("N_importance", 128))
+    )
+    if n_samples < 1:
+        p.error(f"--samples must be >= 1 (got {n_samples})")
+    if n_importance < 1:
+        p.error(f"--importance must be >= 1 (got {n_importance})")
     white_bg = bool(cfg.get("white_bg", False))
 
     out_dir = Path(args.out or Path(cfg.output_dir) / "renders")

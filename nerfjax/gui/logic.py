@@ -174,7 +174,10 @@ def load_volume_any(path: str | Path) -> tuple[np.ndarray, np.ndarray, dict | No
 
     Accepts volume.pth (dense occupancy+rgb grids) and volume_sliced.pth
     (point list) like all three reference viewers."""
-    data = pth.load(path)
+    # mmap=True: volume.pth at 512^3 is ~0.5 GB; mapping the stored blobs
+    # avoids zipfile's chunked-copy+CRC pass (~18s -> seconds, docs/PERF.md).
+    # Everything downstream (argwhere / fancy indexing / astype) only reads.
+    data = pth.load(path, mmap=True)
     if "points_normalized" in data:
         pts = np.asarray(data["points_normalized"], np.float32)
         rgbs = np.asarray(data["rgbs"], np.float32)

@@ -1,4 +1,6 @@
 from nerfjax.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     make_mesh,
     shard_batch,
     replicate,
@@ -12,6 +14,8 @@ from nerfjax.parallel.distributed import (
 )
 
 __all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
     "make_mesh",
     "shard_batch",
     "replicate",

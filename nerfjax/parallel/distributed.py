@@ -63,21 +63,37 @@ def init_distributed(
 
     # NOTE: do not touch jax.process_count()/jax.devices() before
     # initialize() — any backend query forbids a later initialize. Detect
-    # "already initialized" from the distributed client state instead.
-    try:
-        already = jax._src.distributed.global_state.client is not None
-    except Exception:
-        already = False
+    # "already initialized" via the public API when present, falling back
+    # to the private client state on older JAX.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if callable(is_init):
+        try:
+            already = bool(is_init())
+        except Exception:
+            already = False
+    else:
+        try:
+            already = jax._src.distributed.global_state.client is not None
+        except Exception:
+            already = False
     if not already:
-        if coord and nproc and nproc > 1:
-            jax.distributed.initialize(
-                coordinator_address=coord,
-                num_processes=nproc,
-                process_id=pid,
-                local_device_ids=local_device_ids,
-            )
-        elif os.environ.get("NERFJAX_DISTRIBUTED"):
-            jax.distributed.initialize()
+        # Belt-and-braces for the documented "safe to call twice"
+        # contract: if the detection above missed an earlier initialize
+        # (private API moved), JAX raises RuntimeError here — treat that
+        # as the no-op second call rather than crashing.
+        try:
+            if coord and nproc and nproc > 1:
+                jax.distributed.initialize(
+                    coordinator_address=coord,
+                    num_processes=nproc,
+                    process_id=pid,
+                    local_device_ids=local_device_ids,
+                )
+            elif os.environ.get("NERFJAX_DISTRIBUTED"):
+                jax.distributed.initialize()
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 

@@ -20,19 +20,45 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(devices: list | None = None, axis: str = DATA_AXIS) -> Mesh:
-    """1-D mesh over all GLOBAL devices (or an explicit device list).
+def make_mesh(
+    devices: list | None = None,
+    axis: str = DATA_AXIS,
+    shape: tuple[int, int] | None = None,
+) -> Mesh:
+    """Device mesh over all GLOBAL devices (or an explicit device list).
+
+    Default: a 1-D ``(data,)`` mesh — rays shard across every chip, the
+    hash table (if ``shard_hash_table``) shards across the same axis.
+
+    ``shape=(dp, tp)``: a 2-D ``(data, model)`` mesh. Rays shard along
+    ``data``; ``table_shardings`` then shards the hash table along
+    ``model`` only, so each data-parallel group holds one full copy of the
+    table split across its ``tp`` chips. This is the pod shape for DP
+    across hosts x TP within a host: with process-major device order and
+    ``tp`` = chips-per-host, each mesh row is exactly one host, the
+    table's gather/scatter collectives ride intra-host ICI, and only the
+    gradient all-reduce crosses DCN.
 
     ``jax.devices()`` spans every process once
     :func:`nerfjax.parallel.init_distributed` has run, so the same call
     builds a pod-wide mesh on multi-host and a local mesh on one host.
     Device order is process-major, which is what
-    ``process_batch_slice`` relies on for contiguous per-host blocks.
+    ``process_batch_slice`` relies on for contiguous per-host blocks (in
+    the 2-D case each process must own whole mesh rows, i.e. tp must
+    divide the per-process device count).
     """
     if devices is None:
         devices = jax.devices()
+    if shape is not None:
+        dp, tp = int(shape[0]), int(shape[1])
+        if dp * tp != len(devices):
+            raise ValueError(
+                f"mesh shape {dp}x{tp} != {len(devices)} devices"
+            )
+        return Mesh(np.asarray(devices).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devices), (axis,))
 
 

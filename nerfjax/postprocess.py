@@ -71,7 +71,7 @@ def save_sliced(points, rgbs, aabb_meta, path: str | Path) -> None:
 
 def post_process(cfg: ConfigNode, verbose: bool = True) -> dict:
     """Full post-process stage (reference: post_process_vol.py:67-110)."""
-    data = pth.load(cfg.volume_output_path)
+    data = pth.load(cfg.volume_output_path, mmap=True)  # read-only pipeline; see pth.load
     volume = data["occupancy_volume"]
     rgb_volume = data["rgb_volume"]
     if verbose:
@@ -130,7 +130,7 @@ def write_formats(cfg: ConfigNode, grid_size: int = 512, verbose: bool = True) -
     """
     from nerfjax.formats import write_tiff_volume, write_vti_volume
 
-    data = pth.load(cfg.sliced_vol_path)
+    data = pth.load(cfg.sliced_vol_path, mmap=True)  # read-only pipeline; see pth.load
     points = np.asarray(data["points_normalized"])
     rgbs = np.asarray(data["rgbs"])
     if verbose:

@@ -318,6 +318,7 @@ def _rebuild_tensor(storage, offset, size, stride, *args):
     # bound-check them before as_strided or a corrupt file could read
     # arbitrary process memory into the returned array.
     arr = storage
+    lazy = isinstance(arr, np.memmap)  # mmap fast path: defer the read
     numel = arr.shape[0]
     offset = int(offset)
     size = tuple(int(s) for s in size)
@@ -344,20 +345,71 @@ def _rebuild_tensor(storage, offset, size, stride, *args):
             f"pth reader: tensor extent {last + 1} exceeds storage numel {numel}"
         )
     itemsize = arr.dtype.itemsize
-    return np.lib.stride_tricks.as_strided(
+    view = np.lib.stride_tricks.as_strided(
         arr[offset:], shape=size, strides=tuple(s * itemsize for s in stride)
-    ).copy()
+    )
+    # Lazy storages stay views over the file mapping (read-only; pages are
+    # faulted in on first touch). Eager storages are copied so the result
+    # owns its memory.
+    return view if lazy else view.copy()
 
 
-def load(path: str | Path) -> Any:
-    """Read a torch-zip .pth file into plain python + numpy objects."""
+_LOCAL_HDR = struct.Struct("<4sHHHHHIIIHH")  # ZIP local file header (30 bytes)
+
+
+def _stored_member_offset(path: Path, info: zipfile.ZipInfo) -> int | None:
+    """Absolute file offset of a ZIP_STORED member's raw bytes, or None.
+
+    The member's data is a verbatim byte range of the archive, so a
+    storage can be mapped in place instead of routed through zipfile's
+    chunked read + CRC pass — that Python-level pass is what made a
+    537 MB volume.pth take ~18 s to open (docs/PERF.md "viewer logic at
+    extraction scale"). The local header is re-parsed because its
+    name/extra lengths can differ from the central directory's.
+    """
+    if info.compress_type != zipfile.ZIP_STORED:
+        return None
+    with open(path, "rb") as f:
+        f.seek(info.header_offset)
+        hdr = f.read(_LOCAL_HDR.size)
+    if len(hdr) != _LOCAL_HDR.size:
+        return None
+    fields = _LOCAL_HDR.unpack(hdr)
+    if fields[0] != b"PK\x03\x04":
+        return None
+    name_len, extra_len = fields[9], fields[10]
+    return info.header_offset + _LOCAL_HDR.size + name_len + extra_len
+
+
+def load(path: str | Path, mmap: bool = False) -> Any:
+    """Read a torch-zip .pth file into plain python + numpy objects.
+
+    ``mmap=True`` maps uncompressed (ZIP_STORED — what both this writer
+    and ``torch.save`` emit) storages directly from the file instead of
+    copying them through zipfile: tensors come back as read-only views
+    over an ``np.memmap`` whose pages load lazily on first access, and the
+    per-member CRC check is skipped. Callers that mutate the returned
+    arrays or need them to outlive filesystem changes must use the
+    default eager path.
+    """
+    path = Path(path)
     with zipfile.ZipFile(path, "r") as z:
         names = z.namelist()
         pkl_name = next(n for n in names if n.endswith("/data.pkl"))
         prefix = pkl_name[: -len("/data.pkl")]
+        file_size = path.stat().st_size
 
         def read_storage(key: str, dtype: np.dtype, numel: int) -> np.ndarray:
-            raw = z.read(f"{prefix}/data/{key}")
+            member = f"{prefix}/data/{key}"
+            if mmap:
+                info = z.getinfo(member)
+                off = _stored_member_offset(path, info)
+                nbytes = numel * dtype.itemsize
+                if off is not None and off + nbytes <= file_size:
+                    return np.memmap(path, dtype=dtype, mode="r",
+                                     offset=off, shape=(numel,))
+                # compressed / truncated member: fall through to the copy path
+            raw = z.read(member)
             return np.frombuffer(raw, dtype=dtype, count=numel).copy()
 
         with z.open(pkl_name) as f:

@@ -157,6 +157,9 @@ def precompute_rays_for_scene(
 
 def save_ray_data(data: dict[str, np.ndarray], filename: str | Path) -> None:
     """Write the compressed ray NPZ (reference: precompute_rays.py:227)."""
+    # rays_file commonly points inside output_dir, which nothing has
+    # created yet when precompute_rays is the first pipeline stage run
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(
         filename,
         rays_o=data["rays_o"],

@@ -155,6 +155,85 @@ def make_ray_npz(
     return data
 
 
+def make_photometric_ray_npz(
+    path: str | Path,
+    n_rays: int = 8192,
+    seed: int = 0,
+    scene: str = "sphere",
+    n_frames: int = 16,
+    exposure_range: float = 0.2,
+    noise_sigma: float = 0.015,
+    blur_angle: float = 0.004,
+    blur_taps: int = 4,
+) -> dict:
+    """Photometrically corrupted variant of :func:`make_ray_npz`.
+
+    The reference's demonstrated use case is real grass/forest photo sets
+    (reference README.md:115-196); real captures carry per-frame exposure
+    variation, sensor noise, and mild defocus/motion blur that the clean
+    analytic fixtures don't. This generator models all three on top of the
+    same oracle, in ray space:
+
+    * **blur**: each target color is the mean over ``blur_taps`` extra
+      oracle marches whose directions are jittered by a Gaussian of
+      ``blur_angle`` radians — a point-spread function applied in the
+      angular domain, which is what defocus/motion blur does to the
+      radiance a pixel integrates;
+    * **exposure**: rays are grouped into ``n_frames`` contiguous
+      "frames", each scaled by a factor drawn uniformly from
+      ``[1 - exposure_range, 1 + exposure_range]`` (auto-exposure drift
+      between shots);
+    * **noise**: iid Gaussian sensor noise of ``noise_sigma`` added per
+      channel, then clipped to [0, 1] (sensor saturation).
+
+    The corruption is applied to TRAINING targets only — robustness runs
+    evaluate against the clean oracle (`make_ray_npz` eval sets), so the
+    metric is "how well does training survive a corrupted capture", not
+    "can the model memorise noise".
+    """
+    rng = np.random.default_rng(seed + 777_000)
+    clean = make_ray_npz(path, n_rays=n_rays, seed=seed, scene=scene)
+    o, d = clean["rays_o"], clean["rays_d"]
+    tn, tf = clean["t_near"], clean["t_far"]
+    n = len(o)
+    n_steps = 768 if scene == "grass" else 256
+
+    # angular-PSF blur: average the clean oracle with jittered-direction
+    # marches (slab bounds re-derived per tap so the march stays inside the
+    # cube; the jitter is ~0.2°, so bounds barely move)
+    acc = clean["rgbs"].astype(np.float64).copy()
+    for _ in range(blur_taps):
+        jd = d + rng.normal(scale=blur_angle, size=d.shape).astype(np.float32)
+        jd = jd / np.linalg.norm(jd, axis=-1, keepdims=True)
+        eps = 1e-8
+        dd = np.where(np.abs(jd) < eps, eps, jd)
+        t0 = (-1 - o) / dd
+        t1 = (1 - o) / dd
+        jtn = np.maximum(np.minimum(t0, t1).max(-1), 0.0).astype(np.float32)
+        jtf = np.maximum(t0, t1).min(-1).astype(np.float32)
+        bad = jtn > jtf  # jitter pushed the ray off the cube: reuse central
+        jd[bad], jtn[bad], jtf[bad] = d[bad], tn[bad], tf[bad]
+        acc += march_rays(o, jd, jtn, jtf, n_steps=n_steps, scene=scene)
+    rgb = (acc / (1 + blur_taps)).astype(np.float32)
+
+    # per-frame exposure: contiguous chunks stand in for frames (the rays
+    # of one shot are stored together by the precompute pipeline)
+    exposures = rng.uniform(
+        1.0 - exposure_range, 1.0 + exposure_range, size=n_frames
+    ).astype(np.float32)
+    frame_of = (np.arange(n) * n_frames // n).astype(np.int32)
+    rgb = rgb * exposures[frame_of][:, None]
+
+    # sensor noise + saturation clip
+    rgb = rgb + rng.normal(scale=noise_sigma, size=rgb.shape).astype(np.float32)
+    rgb = np.clip(rgb, 0.0, 1.0).astype(np.float32)
+
+    data = dict(clean)
+    data["rgbs"] = rgb
+    np.savez_compressed(path, **data)
+    return data
+
+
 def make_image_scene(scene_dir: str | Path, scene_name: str, n_frames: int = 4,
                      H: int = 32, W: int = 32) -> Path:
     """Full image-based synthetic scene: posed PNG renders + transforms JSON

@@ -214,3 +214,69 @@ def test_ngp_state_dict_roundtrip_tuned_spec():
     r1, s1 = model.apply(back, pos, view)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)
+
+
+def test_load_field_params_from_tcnn_fp16_checkpoint_file(tmp_path):
+    """Layout-golden interop at the FILE level (round-3 verdict #7): a
+    reference-shaped checkpoint whose state dicts are tcnn `params` blobs
+    exactly as a CUDA run would publish them — fp16 torch tensors, hash
+    table entry-major [total, F], MLP blobs row-major [out, in] with the
+    encoding fan-in level-major interleaved, cmlp output zero-padded to 16
+    rows — written by real torch.save (reference scripts/train.py:343-351
+    layout), then opened through checkpoint.load_field_params. The decoded
+    field must compute the same function as ngp_from_state_dict applied to
+    the same blobs directly, closing the zip/pickle/HalfStorage chain the
+    in-memory test cannot."""
+    torch = pytest.importorskip("torch")
+    from nerfjax.config import ConfigNode, with_defaults
+
+    model = InstantNGP("small", n_levels=4)
+    spec = model.spec
+    L, F = spec.n_levels, spec.n_features
+    enc_dim = spec.output_dim
+    total = spec.total_table_size
+    rng = np.random.default_rng(7)
+
+    table_f16 = rng.normal(scale=1e-2, size=(total, F)).astype(np.float16)
+    d1 = rng.normal(scale=0.3, size=(64, enc_dim)).astype(np.float16)
+    d2 = rng.normal(scale=0.3, size=(16, 64)).astype(np.float16)
+    c1 = rng.normal(scale=0.3, size=(64, 32)).astype(np.float16)
+    c2 = rng.normal(scale=0.3, size=(64, 64)).astype(np.float16)
+    c3 = np.zeros((16, 64), np.float16)
+    c3[:3] = rng.normal(scale=0.3, size=(3, 64)).astype(np.float16)
+    sd_np = {
+        "pos_encoding.params": table_f16.reshape(-1),
+        "dir_encoding.params": np.zeros((0,), np.float16),
+        "dmlp.params": np.concatenate([d1.reshape(-1), d2.reshape(-1)]),
+        "cmlp.params": np.concatenate(
+            [c1.reshape(-1), c2.reshape(-1), c3.reshape(-1)]
+        ),
+    }
+    sd_torch = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
+    assert all(v.dtype == torch.float16 for v in sd_torch.values())
+    path = tmp_path / "nerf_final.pth"
+    torch.save(
+        {
+            "iteration": 12345,
+            "nerf_coarse_state_dict": sd_torch,  # NGP: coarse is fine (train.py:220)
+            "nerf_fine_state_dict": sd_torch,
+            "optimizer_state_dict": {"state": {}, "param_groups": []},
+        },
+        path,
+    )
+
+    cfg = with_defaults(
+        ConfigNode(
+            {"scene_name": "t", "ngp": True, "nerf_type": "small", "hash_n_levels": 4}
+        )
+    )
+    loaded = ckpt.load_field_params(path, cfg, which="fine")
+    direct = ckpt.ngp_from_state_dict(model, sd_np)
+
+    pos = jnp.asarray(rng.uniform(-1, 1, size=(23, 3)).astype(np.float32))
+    view = rng.normal(size=(23, 3)).astype(np.float32)
+    view = jnp.asarray(view / np.linalg.norm(view, axis=-1, keepdims=True))
+    r0, s0 = model.apply(direct, pos, view)
+    r1, s1 = model.apply(loaded["model"], pos, view)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

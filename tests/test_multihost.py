@@ -50,11 +50,15 @@ base = {{
     "batch_size": 64, "num_epochs": 1, "lr": 5e-3,
     "N_samples": 4, "N_importance": 4, "precision": "fp32",
     "occupancy_grid": False, "hash_grad_corners": 8,
-    "shard_hash_table": mode == "tp",
+    "shard_hash_table": mode in ("tp", "tp2d"),
     "rays_file": os.path.join(tmp, "rays.npz"),
     "output_dir": os.path.join(tmp, "out"),
     "checkpoint_dir": os.path.join(tmp, "out", "ckpt"),
 }}
+if mode == "tp2d":
+    # DP across the 2 processes x TP across each process's 2 local devices:
+    # the pod shape where table collectives stay intra-host.
+    base["mesh_shape"] = [2, 2]
 if mode == "resume":
     # phase 1: 2 epochs -> lead writes nerf_epoch_000002.pth
     train(with_defaults(ConfigNode(dict(base, num_epochs=2))), seed=0,
@@ -101,6 +105,14 @@ def test_two_process_tensor_parallel_table(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_dp_tp_2d_mesh(tmp_path):
+    """DP x TP 2-D (data, model) mesh across the cluster (round-3 verdict
+    #8): rays shard along `data` (one group per process), the hash table
+    along `model` (each process's 2 local devices) — cfg mesh_shape=[2,2]."""
+    _run_two_process(tmp_path, mode="tp2d")
+
+
+@pytest.mark.slow
 def test_two_process_resume_non_shared_fs(tmp_path):
     """Resume on a pod whose checkpoint_dir is NOT a shared filesystem:
     only the lead sees the checkpoint it wrote; the restored epoch and
@@ -110,7 +122,7 @@ def test_two_process_resume_non_shared_fs(tmp_path):
     assert any("Resumed from" in o for o in outs), outs[0][-2000:]
 
 
-def _run_two_process(tmp_path, mode):
+def _run_two_process(tmp_path, mode, _attempt=0):
     sys.path.insert(0, str(REPO / "tests"))
     from synthetic import make_ray_npz
 
@@ -149,6 +161,15 @@ def _run_two_process(tmp_path, mode):
     for p in procs:
         out, _ = p.communicate(timeout=600)
         outs.append(out)
+    # Gloo's TCP handshake has a fixed connect timeout that this one-core
+    # CI box blows through when a background study starves the workers
+    # (observed: "Gloo context initialization failed ... Connect
+    # timeout"). That is environment scheduling, not product behavior —
+    # retry once on that signature only; any other failure asserts.
+    if _attempt == 0 and any(
+        p.returncode != 0 for p in procs
+    ) and any("Connect timeout" in o or "Gloo context" in o for o in outs):
+        return _run_two_process(tmp_path, mode, _attempt=1)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 

@@ -401,3 +401,117 @@ def test_extreme_level_knobs_fail_loudly():
     for nt in ("small", "medium", "large"):
         build_fields(cfg_of(nerf_type=nt, hash_n_levels=12,
                             hash_extra_dense_levels=2))
+
+
+def test_table_sharded_2d_mesh_matches_replicated():
+    """DP x TP 2-D mesh (round-3 verdict #8): on make_mesh(shape=(2,4)) the
+    hash table must shard along the `model` axis only while rays shard
+    along `data`, and one train step must be bit-identical to the 1-D
+    replicated path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.parallel import MODEL_AXIS, make_mesh, replicate, shard_batch
+    from nerfjax.train import (
+        TrainSettings,
+        build_fields,
+        init_occupancy,
+        init_params,
+        make_optimizer,
+        make_train_step,
+        table_shardings,
+    )
+
+    cfg = with_defaults(
+        ConfigNode(
+            {
+                "scene_name": "tp2d",
+                "ngp": True,
+                "nerf_type": "small",
+                "N_samples": 4,
+                "N_importance": 4,
+                "precision": "bf16",
+                "occupancy_grid": False,
+            }
+        )
+    )
+    B = 32
+    settings = TrainSettings.from_cfg(cfg, total_steps=100)
+    fc, ff, _ = build_fields(cfg)
+    params0 = jax.device_get(init_params(cfg, jax.random.PRNGKey(0)))
+    tx = make_optimizer(settings)
+    opt0 = jax.device_get(tx.init(params0))
+
+    rng = np.random.default_rng(0)
+    o = rng.normal(size=(B, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    raw = {
+        "rays_o": o,
+        "rays_d": d.astype(np.float32),
+        "rgb": rng.uniform(size=(B, 3)).astype(np.float32),
+        "t_near": np.full((B,), 1.5, np.float32),
+        "t_far": np.full((B,), 3.5, np.float32),
+    }
+
+    def run(mesh, shard):
+        s = dataclasses.replace(settings, shard_hash_table=shard)
+        batch = shard_batch(raw, mesh)
+        params = jax.tree_util.tree_map(jnp.asarray, params0)
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt0)
+        if shard:
+            psh, osh = table_shardings(mesh, params, tx)
+            params = jax.tree_util.tree_map(jax.device_put, params, psh)
+            opt_state = jax.tree_util.tree_map(jax.device_put, opt_state, osh)
+        else:
+            params = replicate(params, mesh)
+            opt_state = replicate(opt_state, mesh)
+        step = replicate(jnp.zeros((), jnp.int32), mesh)
+        occ = replicate(init_occupancy(s), mesh)
+        key = replicate(jax.random.PRNGKey(1), mesh)
+        ts = make_train_step(s, fc, ff, tx, mesh, param_template=params)
+        p, _, _, _, m = ts(params, opt_state, step, occ, key, batch)
+        return float(m["loss_total"]), p
+
+    mesh1d = make_mesh()
+    mesh2d = make_mesh(shape=(2, 4))
+    assert mesh2d.axis_names == ("data", MODEL_AXIS)
+
+    # Bit-equality control: the SAME 2-D mesh with a replicated table —
+    # only the table sharding differs, so TP must not change numerics.
+    # (The 1-D mesh is NOT a bit-equality control: 8 data shards vs 2
+    # reassociate the loss/grad reductions differently at float precision.)
+    l_rep, p_rep = run(mesh2d, shard=False)
+    l_2d, p_2d = run(mesh2d, shard=True)
+    assert l_rep == l_2d
+    np.testing.assert_array_equal(
+        np.asarray(p_rep["model"]["table"]), np.asarray(p_2d["model"]["table"])
+    )
+    # and the 1-D path agrees to float tolerance (same math, different
+    # reduction grouping)
+    l_1d, p_1d = run(mesh1d, shard=False)
+    assert abs(l_1d - l_2d) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(p_1d["model"]["table"]),
+        np.asarray(p_2d["model"]["table"]),
+        atol=1e-5,
+    )
+    # the table leaf is genuinely split along the model axis (4-way), not data
+    tbl = p_2d["model"]["table"]
+    spec = tbl.sharding.spec
+    assert spec[1] == MODEL_AXIS, spec
+    shard_shape = tbl.sharding.shard_shape(tbl.shape)
+    assert shard_shape[1] == tbl.shape[1] // 4
+
+
+def test_make_mesh_shape_validation():
+    import pytest as _pytest
+
+    from nerfjax.parallel import make_mesh
+
+    with _pytest.raises(ValueError, match="devices"):
+        make_mesh(shape=(3, 4))  # 12 != 8 virtual devices
