@@ -241,10 +241,17 @@ class InstantNGP:
     fwd_corners: int = 8  # see HashGridSpec.fwd_corners (train-only)
     extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
+    def __post_init__(self):
+        # fail at construction, not at first .spec access (a bad cfg
+        # nerf_type should error before a training run starts)
+        if self.nerf_type not in NERF_TYPE_LOG2:
+            raise ValueError(
+                f"Unknown nerf_type={self.nerf_type!r}; "
+                f"expected one of {sorted(NERF_TYPE_LOG2)}"
+            )
+
     @property
     def spec(self) -> HashGridSpec:
-        if self.nerf_type not in NERF_TYPE_LOG2:
-            raise ValueError(f"Unknown nerf_type={self.nerf_type!r}")
         return HashGridSpec(
             n_levels=self.n_levels,
             n_features=self.n_features,
