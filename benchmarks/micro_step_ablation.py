@@ -100,6 +100,17 @@ def main():
     p.add_argument("--only-full", action="store_true",
                    help="time only the real train step (skip ablation arms) "
                         "— quick throughput probe of one op point")
+    p.add_argument("--fast-cdf", action="store_true",
+                   help="occ_fast_cdf=true (stratified arithmetic inverse-"
+                        "CDF sampler) for the 'full' arm")
+    p.add_argument("--misc-arms", action="store_true",
+                   help="price the NON-gather step components by deletion "
+                        "(sampler / grid gathers / sort / SH / MLPs / "
+                        "compositing) — decomposes the 'everything else' "
+                        "bucket of the forward attribution")
+    p.add_argument("--dense-arms", action="store_true",
+                   help="experimental dense-level variants: pair-packed "
+                        "width-8 f32 cell rows vs the width-16 baseline")
     args = p.parse_args()
 
     mesh = make_mesh()
@@ -119,6 +130,7 @@ def main():
                 "single_pass": bool(args.single_pass),
                 "hash_grad_corners": args.sgrad,
                 "hash_fwd_corners": args.fwd,
+                "occ_fast_cdf": bool(args.fast_cdf),
             }
         )
     )
@@ -160,9 +172,18 @@ def main():
     )
 
     run("full")
-    if args.only_full:
+    if args.only_full and not (args.misc_arms or args.dense_arms):
         return
 
+    if not args.only_full:
+        _standard_arms(args, run, he, orig, cfg, build_fields)
+    if args.misc_arms:
+        _misc_arms(run)
+    if args.dense_arms:
+        _dense_arms(run, he)
+
+
+def _standard_arms(args, run, he, orig, cfg, build_fields):
     def no_hash_bwd(spec, hp, x, y, z):
         return jax.lax.stop_gradient(orig(spec, hp, x, y, z))
 
@@ -243,6 +264,194 @@ def main():
 
         # (sampler price: compare a separate `--no-occupancy` invocation —
         # the hierarchical-uniform control is already a first-class arm)
+
+def _misc_arms(run):
+        # Price the NON-gather components by deletion (same methodology as
+        # --forward-arms: each arm patches real work away; the train-step
+        # semantics/losses of these arms are meaningless, only the deltas
+        # against the same-session "full" arm matter).
+        import nerfjax.ops.occupancy as occ_mod
+        import nerfjax.fields.encodings as enc_mod
+        import nerfjax.render as render_mod
+        from nerfjax.fields.ngp import InstantNGP as InstantNGPPlanar
+
+        # -- sampler arms ---------------------------------------------------
+        orig_osample = occ_mod.occupancy_sample
+
+        def uniform_z(spec, grid, key, rays_o, rays_d, t_near, t_far, n):
+            # stratified uniform depths: no grid gathers, no CDF, no sort
+            near = t_near.reshape(-1, 1)
+            far = t_far.reshape(-1, 1)
+            t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)[None, :]
+            z = near * (1.0 - t) + far * t
+            return z + (far - near) / n * (
+                jax.random.uniform(key, z.shape, jnp.float32) - 0.5
+            ) + grid[0] * 0.0
+
+        occ_mod.occupancy_sample = uniform_z
+        try:
+            run("uniform-z")
+        finally:
+            occ_mod.occupancy_sample = orig_osample
+
+        orig_lookup = occ_mod._grid_lookup
+
+        def no_grid_gather(spec, grid, px, py, pz):
+            return jnp.broadcast_to(grid[0], px.shape)
+
+        occ_mod._grid_lookup = no_grid_gather
+        try:
+            run("no-grid-gather")
+        finally:
+            occ_mod._grid_lookup = orig_lookup
+
+        def osample_nosort(spec, grid, key, rays_o, rays_d, t_near, t_far, n):
+            from nerfjax.ops.occupancy import segment_weights
+            from nerfjax.render import sample_pdf
+
+            edges, w = segment_weights(spec, grid, rays_o, rays_d, t_near, t_far)
+            return sample_pdf(key, edges, w, n)  # skip the per-ray sort
+
+        occ_mod.occupancy_sample = osample_nosort
+        try:
+            run("no-z-sort")
+        finally:
+            occ_mod.occupancy_sample = orig_osample
+
+        # -- SH / MLP arms ----------------------------------------------------
+        orig_sh = enc_mod.sh4_encode_planar
+
+        def no_sh(dx, dy, dz):
+            return jnp.broadcast_to(dx[None, :] * 0.0, (16, dx.shape[0]))
+
+        enc_mod.sh4_encode_planar = no_sh
+        try:
+            run("no-sh")
+        finally:
+            enc_mod.sh4_encode_planar = orig_sh
+
+        orig_apply = InstantNGPPlanar.apply_planar
+
+        def no_cmlp(self, params, pos3, view3, *, dtype=jnp.bfloat16, **_):
+            # keep encode + dmlp; rgb from density features (no cmlp, no SH)
+            sigma, feat = self.query_density_planar(params, pos3, dtype=dtype)
+            rgb = jax.nn.sigmoid(feat[1:4] + params["cmlp"][-1]["w"][0, :3][:, None].astype(dtype))
+            return rgb, sigma
+
+        InstantNGPPlanar.apply_planar = no_cmlp
+        try:
+            run("no-cmlp")
+        finally:
+            InstantNGPPlanar.apply_planar = orig_apply
+
+        orig_qd = InstantNGPPlanar.query_density_planar
+
+        def no_dmlp(self, params, pos3, *, dtype=jnp.bfloat16, **_):
+            from nerfjax.ops.hash_encode import hash_encode_planar
+            from jax.ad_checkpoint import checkpoint_name
+
+            x = jnp.clip((pos3[0] + 1.0) * 0.5, 0.0, 1.0)
+            y = jnp.clip((pos3[1] + 1.0) * 0.5, 0.0, 1.0)
+            z = jnp.clip((pos3[2] + 1.0) * 0.5, 0.0, 1.0)
+            enc = hash_encode_planar(self.spec, params["table"], x, y, z, dtype=dtype)
+            enc = checkpoint_name(enc, "hash_enc")
+            feat = jax.nn.relu(
+                enc[:16] + params["dmlp"][0]["w"][0, 0].astype(dtype)
+            )  # encode kept, dmlp matmuls gone
+            return feat[0], feat
+
+        InstantNGPPlanar.query_density_planar = no_dmlp
+        InstantNGPPlanar.apply_planar = no_cmlp
+        try:
+            run("no-mlp")
+        finally:
+            InstantNGPPlanar.query_density_planar = orig_qd
+            InstantNGPPlanar.apply_planar = orig_apply
+
+        # -- compositing arm -------------------------------------------------
+        orig_r2o = render_mod.raw2outputs_planar
+
+        def no_composite(rgb, sigma, z_vals, white_bg=False, dist_last=1e10):
+            rgb_map = jnp.mean(rgb.astype(jnp.float32), axis=-1).T  # [B, 3]
+            S = z_vals.shape[-1]
+            w = jnp.broadcast_to(
+                (sigma.astype(jnp.float32) * 0.0 + 1.0 / S), sigma.shape
+            )
+            return rgb_map, w
+
+        render_mod.raw2outputs_planar = no_composite
+        try:
+            run("no-composite")
+        finally:
+            render_mod.raw2outputs_planar = orig_r2o
+
+def _dense_arms(run, he):
+        # Pair-packed dense cell rows: [C, 8] f32 words (two bf16 features
+        # per word) instead of [C, 16] dtype lanes — half the row lanes at
+        # equal bytes (bf16 baseline). The packed assembly routes through
+        # bitcasts (non-differentiable), so BOTH arms stop-gradient the dense
+        # encode; read dense-packed against the dense-sg16 control, which
+        # prices the forward row-gather width effect in isolation.
+        orig_dense3 = he._dense_levels_encode
+
+        def dense_sg16(spec, dense, planes, x, y, z, dtype):
+            e0, e1 = orig_dense3(spec, dense, planes, x, y, z, dtype)
+            return jax.lax.stop_gradient(e0), jax.lax.stop_gradient(e1)
+
+        he._dense_levels_encode = dense_sg16
+        try:
+            run("dense-sg16")
+        finally:
+            he._dense_levels_encode = orig_dense3
+
+        def dense_packed(spec, dense, planes, x, y, z, dtype):
+            e0_rows, e1_rows = [], []
+            for lp in dense:
+                r = lp["res"]
+                sl = planes[:, lp["offset"] : lp["offset"] + lp["size"]]
+                g = sl[:, : r * r * r].reshape(2, r, r, r)
+                slots = []
+                for dxc, dyc, dzc in he._CORNERS:
+                    block = g[:, dzc : dzc + r - 1, dyc : dyc + r - 1, dxc : dxc + r - 1]
+                    slots.append(
+                        he._pack_pairs_bf16(
+                            jnp.stack(
+                                [block[0].reshape(-1), block[1].reshape(-1)]
+                            )
+                        )
+                    )
+                rows = jnp.stack(slots, axis=-1)  # [(r-1)^3, 8] f32 words
+                px, py, pz = x * lp["scale"] + 0.5, y * lp["scale"] + 0.5, z * lp["scale"] + 0.5
+                bx = jnp.clip(jnp.floor(px), 0, r - 2).astype(jnp.int32)
+                by = jnp.clip(jnp.floor(py), 0, r - 2).astype(jnp.int32)
+                bz = jnp.clip(jnp.floor(pz), 0, r - 2).astype(jnp.int32)
+                row_idx = bx + by * (r - 1) + bz * (r - 1) * (r - 1)
+                G = jnp.take(rows, row_idx, axis=0)  # [N, 8] f32 words
+                f0, f1 = he._unpack_pairs(G)  # [N, 8] each
+                tx = jnp.clip(px - bx, 0.0, 1.0).astype(dtype)
+                ty = jnp.clip(py - by, 0.0, 1.0).astype(dtype)
+                tz = jnp.clip(pz - bz, 0.0, 1.0).astype(dtype)
+                e0 = jnp.zeros_like(tx)
+                e1 = jnp.zeros_like(tx)
+                for c, (dxc, dyc, dzc) in enumerate(he._CORNERS):
+                    wx = tx if dxc else (1.0 - tx)
+                    wy = ty if dyc else (1.0 - ty)
+                    wz = tz if dzc else (1.0 - tz)
+                    w = wx * wy * wz
+                    e0 = e0 + f0[:, c].astype(dtype) * w
+                    e1 = e1 + f1[:, c].astype(dtype) * w
+                e0_rows.append(e0)
+                e1_rows.append(e1)
+            return (
+                jax.lax.stop_gradient(jnp.stack(e0_rows, axis=0)),
+                jax.lax.stop_gradient(jnp.stack(e1_rows, axis=0)),
+            )
+
+        he._dense_levels_encode = dense_packed
+        try:
+            run("dense-packed")
+        finally:
+            he._dense_levels_encode = orig_dense3
 
 
 if __name__ == "__main__":

@@ -78,13 +78,30 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
 
     from nerfjax.config import ConfigNode, with_defaults
 
-    # "f<k>" suffix on any arm = hash_fwd_corners=k (stochastic dithered-
-    # trilinear forward; leader+residual for k>=2). The base arm fixes
-    # every other knob.
+    # Composable suffixes on any arm (applied right-to-left):
+    #   "f<k>"  = hash_fwd_corners=k (stochastic dithered-trilinear forward;
+    #             leader+residual for k>=2)
+    #   "sc"    = occ_fast_cdf=true (stratified arithmetic inverse-CDF
+    #             sampler — ops.occupancy._sample_cdf_fast)
+    #   "p<P>"  = occ_update_partitions=P (rotating 1/P grid refresh)
+    # The base arm fixes every other knob.
+    fast_cdf = False
+    partitions = 1
     fwd_corners = 8
-    m = re.fullmatch(r"(.+?)f([1-7])", arm)
-    if m:
-        arm, fwd_corners = m.group(1), int(m.group(2))
+    while True:
+        m = re.fullmatch(r"(.+?)p([0-9]+)", arm)
+        if m:
+            arm, partitions = m.group(1), int(m.group(2))
+            continue
+        m = re.fullmatch(r"(.+?)sc", arm)
+        if m:
+            arm, fast_cdf = m.group(1), True
+            continue
+        m = re.fullmatch(r"(.+?)f([1-7])", arm)
+        if m:
+            arm, fwd_corners = m.group(1), int(m.group(2))
+            continue
+        break
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
                         "spass12L", "spass12L32", "spass12Led2", "spass10Led2",
@@ -126,6 +143,8 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                                  "spass12Led2k1") else 0
                 ),
                 "hash_fwd_corners": fwd_corners,
+                "occ_fast_cdf": fast_cdf,
+                "occ_update_partitions": partitions,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -249,7 +268,10 @@ def main() -> None:
                             "spass10Led2", "spass12Led2k1",
                             # stochastic-forward probes of the tuned arm
                             # (f<k> suffix = hash_fwd_corners=k)
-                            "spass12Led2k1f2", "spass12Led2k1f1"],
+                            "spass12Led2k1f2", "spass12Led2k1f1",
+                            # round-4 sampler/update probes (sc = stratified
+                            # fast CDF; p<P> = partitioned grid refresh)
+                            "spass12Led2k1f1sc", "spass12Led2k1f1scp4"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")

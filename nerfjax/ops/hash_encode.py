@@ -365,6 +365,57 @@ def _dense_cell_rows(lp: dict, plane_slice: jnp.ndarray, dtype) -> jnp.ndarray:
     return rows.reshape((r - 1) ** 3, 16)
 
 
+def _pack_rows16(rows16: jnp.ndarray) -> jnp.ndarray:
+    """[C, 16] (bf16 values) -> [C, 8] f32 words: slot pair (2s, 2s+1) packed
+    as (odd_bf16 << 16) | even_bf16 in each word."""
+    u = jax.lax.bitcast_convert_type(
+        rows16.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u[:, 0::2] | (u[:, 1::2] << 16), jnp.float32
+    )
+
+
+def _unpack_rows8(words: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] f32 words -> [N, 16] f32 (bf16 values widened), slot order
+    restored (even, odd, even, odd, ...)."""
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    even = jax.lax.bitcast_convert_type((u << 16).astype(jnp.uint32), jnp.float32)
+    odd = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000), jnp.float32)
+    return jnp.stack([even, odd], axis=-1).reshape(words.shape[0], 16)
+
+
+@jax.custom_vjp
+def _packed_row_gather(rows16: jnp.ndarray, row_idx: jnp.ndarray) -> jnp.ndarray:
+    """Width-8 packed twin of `jnp.take(rows16, row_idx, axis=0)`.
+
+    Measured on v5e (docs/PERF.md round-4 dense arms): gathering [N, 8] f32
+    words instead of [N, 16] bf16 lanes saves ~7 ns/row in-step (the gather
+    emitter pays per ELEMENT, not per byte) — 16.7 ms at the tuned op
+    point's 2.36M dense rows. Values are identical to the bf16 row gather
+    (the pack/unpack round-trip is exact on bf16 inputs); the VJP is exactly
+    `take`'s transpose (row scatter-add), so gradients match the unpacked
+    path bit-for-bit at equal dtype.
+    """
+    return _unpack_rows8(jnp.take(_pack_rows16(rows16), row_idx, axis=0))
+
+
+def _packed_row_gather_fwd(rows16, row_idx):
+    # zeros-template residual (broadcast(0): free) carries shape+dtype into
+    # the bwd without saving rows16 itself
+    zeros = jnp.zeros_like(rows16)
+    return _packed_row_gather(rows16, row_idx), (row_idx, zeros)
+
+
+def _packed_row_gather_bwd(res, g):
+    row_idx, zeros = res
+    grad = zeros.at[row_idx].add(g.astype(zeros.dtype), mode="drop")
+    return grad, None
+
+
+_packed_row_gather.defvjp(_packed_row_gather_fwd, _packed_row_gather_bwd)
+
+
 def _dense_levels_encode(
     spec: HashGridSpec,
     dense: list[dict],
@@ -387,7 +438,12 @@ def _dense_levels_encode(
         by = jnp.clip(jnp.floor(py), 0, r - 2).astype(jnp.int32)
         bz = jnp.clip(jnp.floor(pz), 0, r - 2).astype(jnp.int32)
         row_idx = bx + by * (r - 1) + bz * (r - 1) * (r - 1)  # [N]
-        G = jnp.take(rows, row_idx, axis=0)  # [N, 16] one width-16 gather
+        if dtype == jnp.bfloat16:
+            # pair-packed width-8 row gather (v5e: ~7 ns/row cheaper; values
+            # identical — rows are already bf16 at this dtype)
+            G = _packed_row_gather(rows, row_idx).astype(dtype)  # [N, 16]
+        else:
+            G = jnp.take(rows, row_idx, axis=0)  # [N, 16] one width-16 gather
 
         tx = jnp.clip(px - bx, 0.0, 1.0).astype(dtype)
         ty = jnp.clip(py - by, 0.0, 1.0).astype(dtype)

@@ -155,6 +155,12 @@ class TrainSettings:
     use_occupancy: bool = True
     occ_resolution: int = 128
     occ_update_every: int = 16
+    # refresh 1/P of the grid cells per update (ops.occupancy docstring);
+    # 1 = exact full refresh (reference-free default)
+    occ_update_partitions: int = 1
+    # stratified arithmetic inverse-CDF sampler (ops.occupancy
+    # _sample_cdf_fast); False = the sample_pdf + sort path
+    occ_fast_cdf: bool = False
     # Tensor-parallel hash table (see table_shardings): memory-scaling mode
     # for hash tables too large to replicate per chip.
     shard_hash_table: bool = False
@@ -178,6 +184,8 @@ class TrainSettings:
             use_occupancy=bool(cfg.get("occupancy_grid", True)),
             occ_resolution=int(cfg.get("occ_resolution", 128)),
             occ_update_every=int(cfg.get("occ_update_every", 16)),
+            occ_update_partitions=int(cfg.get("occ_update_partitions", 1)),
+            occ_fast_cdf=bool(cfg.get("occ_fast_cdf", False)),
             shard_hash_table=bool(cfg.get("shard_hash_table", False)),
             single_pass=_validated_single_pass(cfg),
         )
@@ -186,7 +194,10 @@ class TrainSettings:
         from nerfjax.ops.occupancy import OccupancyGridSpec
 
         return OccupancyGridSpec(
-            resolution=self.occ_resolution, update_every=self.occ_update_every
+            resolution=self.occ_resolution,
+            update_every=self.occ_update_every,
+            update_partitions=self.occ_update_partitions,
+            fast_cdf=self.occ_fast_cdf,
         )
 
 
@@ -343,8 +354,12 @@ def make_train_step(
             _, pf = _split_params(params)
 
             def do_update(g):
+                # rotating partition phase: advances once per update so every
+                # cell refreshes within update_partitions updates (P=1: always 0)
+                phase = (step // spec.update_every) % spec.update_partitions
                 return update_grid(
-                    spec, g, field_fine, pf, jax.random.fold_in(skey, 777)
+                    spec, g, field_fine, pf, jax.random.fold_in(skey, 777),
+                    phase=phase,
                 )
 
             occ_grid = jax.lax.cond(

@@ -351,3 +351,49 @@ def test_fwd_corners_flows_from_cfg_train_only():
                                     "hash_fwd_corners": 0}))
     with pytest.raises(ValueError):
         build_fields(bad, train=True)
+
+
+def test_packed_row_gather_matches_take():
+    """Forward: width-8 packed gather == width-16 take on bf16 rows (exact —
+    the pack/unpack round-trip is lossless on bf16 values). Backward: the
+    VJP is take's transpose, bit-for-bit."""
+    from nerfjax.ops.hash_encode import _packed_row_gather
+
+    k = jax.random.PRNGKey(0)
+    rows = jax.random.normal(k, (97, 16), jnp.float32).astype(jnp.bfloat16)
+    idx = jax.random.randint(jax.random.PRNGKey(1), (333,), 0, 97)
+
+    got = _packed_row_gather(rows, idx)
+    want = jnp.take(rows, idx, axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.bfloat16)), np.asarray(want)
+    )
+
+    g = jax.random.normal(jax.random.PRNGKey(2), (333, 16), jnp.float32)
+
+    def f_packed(r):
+        return jnp.sum(_packed_row_gather(r, idx) * g)
+
+    def f_take(r):
+        return jnp.sum(jnp.take(r, idx, axis=0).astype(jnp.float32) * g)
+
+    gp = jax.grad(f_packed)(rows)
+    gt = jax.grad(f_take)(rows)
+    np.testing.assert_allclose(
+        np.asarray(gp, np.float32), np.asarray(gt, np.float32), rtol=0.05, atol=1e-2
+    )
+
+
+def test_dense_encode_bf16_packed_matches_fp32_path():
+    """The bf16 dense path (now routed through the packed row gather) agrees
+    with the fp32 dense path to bf16 tolerance, including at boundaries."""
+    spec, planes, x01 = _setup(n=191)
+    lo = hash_encode_planar(
+        spec, planes, x01[:, 0], x01[:, 1], x01[:, 2], dtype=jnp.bfloat16
+    )
+    hi = hash_encode_planar(
+        spec, planes, x01[:, 0], x01[:, 1], x01[:, 2], dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(lo, np.float32), np.asarray(hi, np.float32), atol=2e-2, rtol=5e-2
+    )

@@ -162,3 +162,123 @@ def test_occupancy_sample_sorted_and_in_range():
     assert z.shape == (B, 48)
     assert np.all(np.diff(z, axis=-1) >= 0), "depths must be sorted"
     assert np.all(z >= 1.5 - 1e-5) and np.all(z <= 3.5 + 1e-5)
+
+
+def test_partitioned_update_covers_all_cells():
+    """P>1 refreshes a rotating interleaved subset; after P updates every
+    cell has been re-queried, and occupied/empty classification matches the
+    full-refresh result."""
+
+    class FakeField:
+        def query_density_planar(self, params, pos3, **kw):
+            r = jnp.sqrt(pos3[0] ** 2 + pos3[1] ** 2 + pos3[2] ** 2)
+            return jnp.where(r < 0.5, 20.0, 0.0), None
+
+    full = OccupancyGridSpec(resolution=16, decay=0.5)
+    part = OccupancyGridSpec(resolution=16, decay=0.5, update_partitions=4)
+
+    gf = init_grid(full)
+    gp = init_grid(part)
+    for i in range(8):
+        gf = update_grid(full, gf, FakeField(), None, jax.random.PRNGKey(i))
+        gp = update_grid(
+            part, gp, FakeField(), None, jax.random.PRNGKey(i),
+            phase=i % part.update_partitions,
+        )
+    gf, gp = np.asarray(gf), np.asarray(gp)
+    r = full.resolution
+    centers = (np.arange(r) + 0.5) * (2.0 / r) - 1.0
+    lin = np.arange(r**3)
+    ix, iy, iz = lin % r, (lin // r) % r, lin // (r * r)
+    radius = np.sqrt(centers[ix] ** 2 + centers[iy] ** 2 + centers[iz] ** 2)
+    # same classification as the full refresh at the spec threshold (boundary
+    # cells flip with the per-run jitter draws — allow a 2% fringe)
+    assert gp[radius < 0.3].min() > 1.0
+    assert gp[radius > 0.8].max() < 0.1
+    assert ((gf > full.threshold) == (gp > full.threshold)).mean() > 0.98
+
+
+def test_partitioned_update_p1_is_exact_full_refresh():
+    """P=1 with any phase equals the original full update bit-for-bit."""
+
+    class FakeField:
+        def query_density_planar(self, params, pos3, **kw):
+            return jnp.abs(pos3[0]) * 3.0, None
+
+    spec = OccupancyGridSpec(resolution=8, decay=0.7)
+    g0 = init_grid(spec) * 0.5
+    a = update_grid(spec, g0, FakeField(), None, jax.random.PRNGKey(3))
+    b = update_grid(spec, g0, FakeField(), None, jax.random.PRNGKey(3), phase=0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partitioned_update_only_touches_subset():
+    """A P=4 update changes only cells lin % 4 == phase beyond the decay."""
+
+    class FakeField:
+        def query_density_planar(self, params, pos3, **kw):
+            return jnp.full(pos3[0].shape, 42.0), None
+
+    spec = OccupancyGridSpec(resolution=8, decay=0.9, update_partitions=4)
+    g0 = init_grid(spec)
+    g1 = np.asarray(
+        update_grid(spec, g0, FakeField(), None, jax.random.PRNGKey(0), phase=2)
+    )
+    lin = np.arange(spec.resolution**3)
+    refreshed = lin % 4 == 2
+    np.testing.assert_allclose(g1[refreshed], 42.0)
+    np.testing.assert_allclose(g1[~refreshed], 0.9)
+
+
+def test_fast_cdf_sampler_matches_distribution():
+    """The stratified arithmetic sampler draws from the SAME piecewise-
+    constant distribution as sample_pdf: per-segment sample mass matches the
+    normalized weights, output is sorted and in [near, far], and samples
+    concentrate in the occupied box exactly like the exact path."""
+    spec = OccupancyGridSpec(resolution=32, n_segments=64, floor=0.01,
+                             fast_cdf=True)
+    grid = _grid_with_box(spec)
+    B = 256
+    ro = jnp.tile(jnp.array([[-2.0, 0.0, 0.0]]), (B, 1))
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (B, 1))
+    tn, tf = jnp.full((B,), 1.0), jnp.full((B,), 3.0)
+    z = np.asarray(
+        occupancy_sample(spec, grid, jax.random.PRNGKey(0), ro, rd, tn, tf, 32)
+    )
+    assert (np.diff(z, axis=-1) >= 0).all()  # sorted by construction
+    assert z.min() >= 1.0 and z.max() <= 3.0
+    x = z - 2.0
+    assert ((x > -0.2) & (x < 0.2)).mean() > 0.85
+
+    # distribution match against the exact path: per-segment histogram of a
+    # large sample agrees within sampling noise
+    exact = OccupancyGridSpec(resolution=32, n_segments=64, floor=0.01)
+    ze = np.asarray(
+        occupancy_sample(exact, grid, jax.random.PRNGKey(1), ro, rd, tn, tf, 32)
+    )
+    hf, _ = np.histogram(z, bins=16, range=(1.0, 3.0))
+    he, _ = np.histogram(ze, bins=16, range=(1.0, 3.0))
+    hf = hf / hf.sum()
+    he = he / he.sum()
+    assert np.abs(hf - he).max() < 0.03, (hf, he)
+
+
+def test_fast_cdf_sampler_uniform_weights_are_stratified():
+    """With flat weights the fast sampler reduces to stratified-uniform in
+    [near, far]: exactly one sample per stratum."""
+    spec = OccupancyGridSpec(resolution=8, n_segments=16, floor=0.0,
+                             fast_cdf=True, threshold=-1.0)
+    grid = jnp.ones((8**3,), jnp.float32)
+    B, n = 64, 16
+    ro = jnp.zeros((B, 3))
+    rd = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (B, 1))
+    z = np.asarray(
+        occupancy_sample(
+            spec, grid, jax.random.PRNGKey(0), ro, rd,
+            jnp.zeros((B,)), jnp.ones((B,)), n,
+        )
+    )
+    # sample s must land in stratum [s/n, (s+1)/n)
+    lo = np.arange(n) / n
+    hi = (np.arange(n) + 1) / n
+    assert (z >= lo[None, :] - 1e-6).all() and (z <= hi[None, :] + 1e-6).all()
