@@ -77,6 +77,32 @@ import numpy as np
 # see module docstring + BASELINE.md "GPU-scaling argument".
 REF_RAYS_PER_SEC = 400_000.0
 
+# Realistic reference-GPU estimate band (BASELINE.md launch-overhead
+# decomposition: tcnn kernel time + measured torch/Python dispatch overhead
+# on the reference's own train.py). `vs_ref_band` divides the x8-chip
+# projection of the tuned headline by this band so the defensible ratio
+# lives in the artifact, not only in prose (round-4 verdict #6).
+REF_REALISTIC_BAND = (70_000.0, 130_000.0)
+CHIPS_ASSUMED = 8  # one v5e host (the mesh the multichip dryrun validates)
+
+# Gather-bound roofline (round-4 verdict #6): classic MFU is meaningless for
+# a random-access-bound workload, so report utilization of the measured
+# per-index gather-issue bound instead. achieved = in-step attribution of
+# the pair-packed hash gathers (docs/PERF.md round-3 forward attribution:
+# 18.9M gathers in 137 ms => 7.2 ns/idx); floor band = the isolated
+# microbench issue rate (6.1 ns/idx for 2-wide rows, 8.6 ns/idx for 1-elem
+# rows — benchmarks/micro_probe.py). achieved sits INSIDE the floor band:
+# the hot gather stream runs at ~85-119% of the isolated-microbench issue
+# rate, i.e. at the hardware roof.
+BOUND_UTILIZATION = {
+    "achieved_ns_per_idx": 7.2,
+    "floor_ns_per_idx_band": [6.1, 8.6],
+    "utilization_band": [round(6.1 / 7.2, 2), round(8.6 / 7.2, 2)],
+    "note": "pair-packed hash-gather stream vs isolated gather-issue "
+    "microbench; workload is random-access-issue-bound on v5e (no cache, "
+    "no vector-gather unit) — see docs/PERF.md",
+}
+
 # Most recent CLEAN-SESSION measurements of each op point on the real v5e
 # chip (docs/PERF.md step tables). Reported ONLY inside a "last_measured"
 # provenance block when the live measurement fails (axon tunnel down /
@@ -180,6 +206,21 @@ def _rec(metric: str, value: float | None, error: str | None = None) -> dict:
 _STATE: dict = {"tuned": None, "sp16": None, "drop_in": None}
 
 
+def _vs_ref_band(value: float | None) -> dict:
+    """x8-chip projection of the tuned headline vs the realistic ref band."""
+    if value is None:
+        return {"vs_ref_band": None,
+                "ref_band_rays_per_sec": list(REF_REALISTIC_BAND),
+                "chips_assumed": CHIPS_ASSUMED}
+    hi_ref, lo_ref = REF_REALISTIC_BAND[1], REF_REALISTIC_BAND[0]
+    proj = value * CHIPS_ASSUMED
+    return {
+        "vs_ref_band": [round(proj / hi_ref, 2), round(proj / lo_ref, 2)],
+        "ref_band_rays_per_sec": list(REF_REALISTIC_BAND),
+        "chips_assumed": CHIPS_ASSUMED,
+    }
+
+
 def _payload(error: str | None = None) -> str:
     return json.dumps(
         {
@@ -187,6 +228,8 @@ def _payload(error: str | None = None) -> str:
                 "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1_fwd1",
                 _STATE["tuned"], error,
             ),
+            **_vs_ref_band(_STATE["tuned"]),
+            "bound_utilization": BOUND_UTILIZATION,
             "secondary": _rec(
                 "train_rays_per_sec_per_chip_ngp_large_drop_in_64_192_exact",
                 _STATE["drop_in"], error,

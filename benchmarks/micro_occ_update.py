@@ -31,12 +31,15 @@ enable_compilation_cache()
 
 from nerfjax.config import ConfigNode, with_defaults  # noqa: E402
 from nerfjax.ops.occupancy import OccupancyGridSpec, init_grid, update_grid  # noqa: E402
-from nerfjax.train import build_fields, init_params  # noqa: E402
+from nerfjax.train import _split_params, build_fields, init_params  # noqa: E402
 
 
 def time_call(fn, *args, iters=5):
     out = fn(*args)
     jax.block_until_ready(out)
+    # warm up the sum too, so its trace/compile + host round-trip is not
+    # charged to the timed window below (ADVICE round 4)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -69,7 +72,9 @@ def main():
     for fwd, label in ((1, "tuned f1"), (8, "exact fwd")):
         cfg = with_defaults(ConfigNode({**base, "hash_fwd_corners": fwd}))
         _, ff, _ = build_fields(cfg, train=True)
-        params = init_params(cfg, key)
+        # update_grid queries the FINE field; pass its param subtree, same
+        # as the train.py caller (train.py:354)
+        _, params = _split_params(init_params(cfg, key))
 
         spec = OccupancyGridSpec(resolution=args.res)
         grid = init_grid(spec)

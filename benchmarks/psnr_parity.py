@@ -103,6 +103,18 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
             continue
         break
 
+    # Guard against the stripper silently consuming a future base arm whose
+    # NAME happens to end in "sc"/"p<digits>"/"f<k>" (ADVICE round 4): the
+    # residual must be a registered base arm, never a truncated one.
+    known_base = ("uniform", "occupancy", "sgrad2", "spass2", "spass1",
+                  "spass8", "spass12L", "spass12L32", "spass12Led2",
+                  "spass10Led2", "spass12Led2k1")
+    if arm not in known_base:
+        raise ValueError(
+            f"arm suffix stripping left unknown base arm {arm!r}; "
+            f"register it in known_base before adding suffixed variants"
+        )
+
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
                         "spass12L", "spass12L32", "spass12Led2", "spass10Led2",
                         "spass12Led2k1")

@@ -80,13 +80,16 @@ def update_grid(
     centers = (jnp.arange(r, dtype=jnp.float32) + 0.5) * cell - 1.0
 
     n = r**3 // P
+    # Normalize defensively: an out-of-range traced phase would gather
+    # wrapped cells while dynamic_slice clamps the written column.
+    ph = jnp.asarray(phase, jnp.int32) % P
     if P == 1:
         lin = jnp.arange(r**3, dtype=jnp.int32)
     else:
         if r**3 % P:
             raise ValueError(f"update_partitions={P} must divide resolution^3")
         # interleaved subset; phase stays in-graph (fast derived-index path)
-        lin = jnp.arange(n, dtype=jnp.int32) * P + jnp.asarray(phase, jnp.int32)
+        lin = jnp.arange(n, dtype=jnp.int32) * P + ph
 
     # component vectors via broadcasted iota (x fastest, like the grid
     # linearization idx = x + y*r + z*r^2)
@@ -108,7 +111,6 @@ def update_grid(
     # refreshed subset = every P-th element: a strided column of the [n, P]
     # view — one dynamic_slice + dynamic_update_slice, no scatter.
     g2 = decayed.reshape(n, P)
-    ph = jnp.asarray(phase, jnp.int32)
     col = jax.lax.dynamic_slice(g2, (jnp.int32(0), ph), (n, 1))
     col = jnp.maximum(col, sigma[:, None])
     g2 = jax.lax.dynamic_update_slice(g2, col, (jnp.int32(0), ph))
@@ -199,7 +201,9 @@ def _sample_cdf_fast(
     far = t_far.reshape(-1, 1)
     width = (far - near) * np.float32(1.0 / M)
     t = (u - cdf_b) / denom
-    return near + (below.astype(jnp.float32) + t) * width
+    # float32 cumsum can leave cdf[-1] marginally below u, overshooting far
+    # by ~1e-5; clip to honour the [near, far] contract exactly.
+    return jnp.clip(near + (below.astype(jnp.float32) + t) * width, near, far)
 
 
 def occupancy_sample(
