@@ -102,3 +102,32 @@ def test_hierarchical_empty_scene_fast_path(tmp_path):
     )
     assert vol["occupancy_volume"].sum() <= 32**3  # no crash, sane output
     assert vol["metadata"]["total_voxels"] == 32**3
+
+
+@pytest.mark.slow
+def test_sharded_extraction_matches_single_device():
+    """Grid-DP extraction over the 8-virtual-device mesh must be bit-identical
+    to the 1-device extraction (SURVEY §2 'volume extraction DP'; round-4
+    verdict #4 — mirrors __graft_entry__.dryrun_multichip arm 5)."""
+    from nerfjax.parallel import make_mesh
+    from nerfjax.train import init_params
+
+    devices = jax.devices()
+    assert len(devices) >= 8, devices
+    cfg = with_defaults(
+        ConfigNode({"scene_name": "h8", "ngp": True, "nerf_type": "small"})
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["model"]["table"] = params["model"]["table"] * 2000.0
+
+    kwargs = dict(
+        params=params, resolution=32, hierarchical=True, sparse_fetch=True,
+        verbose=False,
+    )
+    v8 = extract_volume(cfg, mesh=make_mesh(devices[:8]), **kwargs)
+    v1 = extract_volume(cfg, mesh=make_mesh(devices[:1]), **kwargs)
+
+    np.testing.assert_array_equal(v8["occupancy_volume"], v1["occupancy_volume"])
+    np.testing.assert_array_equal(v8["rgb_volume"], v1["rgb_volume"])
+    assert v8["metadata"]["threshold"] == v1["metadata"]["threshold"]
+    assert v8["metadata"]["occupied_voxels"] == v1["metadata"]["occupied_voxels"]
