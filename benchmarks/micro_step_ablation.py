@@ -103,6 +103,10 @@ def main():
     p.add_argument("--fast-cdf", action="store_true",
                    help="occ_fast_cdf=true (stratified arithmetic inverse-"
                         "CDF sampler) for the 'full' arm")
+    p.add_argument("--dense-corners", type=int, default=8,
+                   help="hash_dense_corners: 8=exact cell-row gathers; "
+                        "1..7=stochastic dithered-trilinear dense levels "
+                        "(pair gathers + k-corner scatter)")
     p.add_argument("--misc-arms", action="store_true",
                    help="price the NON-gather step components by deletion "
                         "(sampler / grid gathers / sort / SH / MLPs / "
@@ -130,6 +134,7 @@ def main():
                 "single_pass": bool(args.single_pass),
                 "hash_grad_corners": args.sgrad,
                 "hash_fwd_corners": args.fwd,
+                "hash_dense_corners": args.dense_corners,
                 "occ_fast_cdf": bool(args.fast_cdf),
             }
         )

@@ -84,11 +84,18 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     #   "sc"    = occ_fast_cdf=true (stratified arithmetic inverse-CDF
     #             sampler — ops.occupancy._sample_cdf_fast)
     #   "p<P>"  = occ_update_partitions=P (rotating 1/P grid refresh)
+    #   "dc<k>" = hash_dense_corners=k (stochastic dithered-trilinear DENSE
+    #             levels: pair gathers + k-corner scatter)
     # The base arm fixes every other knob.
     fast_cdf = False
     partitions = 1
     fwd_corners = 8
+    dense_corners = 8
     while True:
+        m = re.fullmatch(r"(.+?)dc([1-7])", arm)
+        if m:
+            arm, dense_corners = m.group(1), int(m.group(2))
+            continue
         m = re.fullmatch(r"(.+?)p([0-9]+)", arm)
         if m:
             arm, partitions = m.group(1), int(m.group(2))
@@ -155,6 +162,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                                  "spass12Led2k1") else 0
                 ),
                 "hash_fwd_corners": fwd_corners,
+                "hash_dense_corners": dense_corners,
                 "occ_fast_cdf": fast_cdf,
                 "occ_update_partitions": partitions,
                 "rays_file": str(rays_file),
@@ -283,7 +291,10 @@ def main() -> None:
                             "spass12Led2k1f2", "spass12Led2k1f1",
                             # round-4 sampler/update probes (sc = stratified
                             # fast CDF; p<P> = partitioned grid refresh)
-                            "spass12Led2k1f1sc", "spass12Led2k1f1scp4"],
+                            "spass12Led2k1f1sc", "spass12Led2k1f1scp4",
+                            # round-5 stochastic-dense probe (dc<k> =
+                            # hash_dense_corners=k)
+                            "spass12Led2k1f1scdc1"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")

@@ -63,6 +63,14 @@ class HashGridSpec:
     # to decorrelate draws; only nerfjax.train.build_fields(train=True)
     # ever sets it (< 8); eval/extract/render construct exact specs.
     fwd_corners: int = 8
+    # DENSE-level forward/backward: 8 = exact width-16 cell-row gather with
+    # scatter-free backward (nerfjax.ops.hash_encode cell rows); 1..7 =
+    # the same stochastic dithered-trilinear estimator as fwd_corners,
+    # fetching k pair-packed corners per (level, point) by direct index —
+    # under k=1 a point-level costs one ~7 ns gather vs one ~21.5 ns row
+    # gather, at the price of a k-corner scatter backward and per-step
+    # encode noise. TRAIN-ONLY like fwd_corners (position-bit draws).
+    dense_corners: int = 8
     # Promote the first E would-be-hashed levels to DENSE storage (their
     # full res^3 table instead of 2^log2 hashed slots). Model change
     # (opt-in, grows the table): the promoted level loses hash collisions
@@ -239,6 +247,7 @@ class InstantNGP:
     geo_feat_dim: int = 16
     grad_corners: int = 8  # see HashGridSpec.grad_corners
     fwd_corners: int = 8  # see HashGridSpec.fwd_corners (train-only)
+    dense_corners: int = 8  # see HashGridSpec.dense_corners (train-only)
     extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
     def __post_init__(self):
@@ -260,6 +269,7 @@ class InstantNGP:
             per_level_scale=self.per_level_scale,
             grad_corners=self.grad_corners,
             fwd_corners=self.fwd_corners,
+            dense_corners=self.dense_corners,
             extra_dense_levels=self.extra_dense_levels,
         )
 

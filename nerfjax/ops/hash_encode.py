@@ -129,7 +129,13 @@ def _corner_weights(
 
 
 def _draw_corners(
-    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, cdf: jnp.ndarray, Lh: int, k: int
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    z: jnp.ndarray,
+    cdf: jnp.ndarray,
+    Lh: int,
+    k: int,
+    salt: int = 0,
 ) -> jnp.ndarray:
     """k iid corner draws per (level, point): P(corner) = trilinear weight.
 
@@ -150,7 +156,7 @@ def _draw_corners(
         bx * np.uint32(0x9E3779B1)
         ^ by * np.uint32(0x85EBCA77)
         ^ bz * np.uint32(0xC2B2AE3D)
-    )  # [N]
+    ) ^ np.uint32(salt & 0xFFFFFFFF)  # [N]; salt decorrelates draw families
     lvl = (
         jnp.arange(Lh, dtype=jnp.uint32)[:, None] * np.uint32(2654435761)
     )  # [Lh, 1]
@@ -183,7 +189,7 @@ def _select_drawn_indices(idx3: jnp.ndarray, draws: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
-def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int):
+def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int, *, clamp=False, salt=0):
     """(sel [k,Lh,N] int32, coef [k,Lh,N] f32): an unbiased k-gather plan.
 
     sum_j coef_j * f[sel_j] is an unbiased estimate of the exact trilinear
@@ -207,10 +213,12 @@ def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int):
     without residuals.
     """
     Lh, _, N = idx3.shape
-    w = _corner_weights(hashed, x, y, z, clamp=False).reshape(Lh, 8, N)
+    w = _corner_weights(hashed, x, y, z, clamp=clamp).reshape(Lh, 8, N)
     if k == 1:
         cdf = jnp.cumsum(w, axis=1)  # [Lh, 8, N]; last column ~ 1.0
-        sel = _select_drawn_indices(idx3, _draw_corners(x, y, z, cdf, Lh, 1))
+        sel = _select_drawn_indices(
+            idx3, _draw_corners(x, y, z, cdf, Lh, 1, salt=salt)
+        )
         return sel, jnp.ones((1, Lh, N), jnp.float32)
     m = jnp.argmax(w, axis=1).astype(jnp.int32)  # [Lh, N]
     corner8 = jnp.arange(8, dtype=jnp.int32)[None, :, None]
@@ -220,7 +228,7 @@ def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int):
     cdfr = jnp.cumsum(wr, axis=1)
     total = cdfr[:, 7, :]  # = 1 - wstar (exactly the drawn mass)
     sel_m = jnp.sum(idx3 * onehot_m.astype(jnp.int32), axis=1)  # [Lh, N]
-    draws = _draw_corners(x, y, z, cdfr, Lh, k - 1)  # u scaled by total
+    draws = _draw_corners(x, y, z, cdfr, Lh, k - 1, salt=salt)  # u scaled by total
     sel_r = _select_drawn_indices(idx3, draws)  # [k-1, Lh, N]
     sel = jnp.concatenate([sel_m[None], sel_r], axis=0)
     coef_r = jnp.broadcast_to(
@@ -463,6 +471,100 @@ def _dense_levels_encode(
 
 
 # ---------------------------------------------------------------------------
+# Dense levels, stochastic (train-only): 1-corner dithered trilinear
+# ---------------------------------------------------------------------------
+
+# salt for the dense-level draw family: decorrelates dense draws from the
+# hash-level draws at the same (level index, position)
+_DENSE_SALT = 0x5BD1E995
+
+
+def _dense_level_indices(
+    spec: HashGridSpec, dense: list[dict], x, y, z
+) -> jnp.ndarray:
+    """[Ld, 8, N] int32 per-corner indices into the dense plane prefix.
+
+    Dense levels are collision-free: idx = (bx+dx) + (by+dy)*r + (bz+dz)*r^2
+    + level offset, with the base cell clamped to [0, r-2] (the same clamp
+    semantics as _dense_levels_encode / _corner_weights(clamp=True))."""
+    scales = jnp.asarray([lp["scale"] for lp in dense], jnp.float32)[:, None]
+    rs = jnp.asarray([lp["res"] for lp in dense], jnp.int32)[:, None]
+    offs = jnp.asarray([lp["offset"] for lp in dense], jnp.int32)[:, None]
+
+    px = x[None, :] * scales + 0.5  # [Ld, N]
+    py = y[None, :] * scales + 0.5
+    pz = z[None, :] * scales + 0.5
+    rmax = (rs - 2).astype(jnp.float32)
+    bx = jnp.clip(jnp.floor(px), 0, rmax).astype(jnp.int32)
+    by = jnp.clip(jnp.floor(py), 0, rmax).astype(jnp.int32)
+    bz = jnp.clip(jnp.floor(pz), 0, rmax).astype(jnp.int32)
+
+    corners = []
+    for dx, dy, dz in _CORNERS:
+        corners.append((bx + dx) + (by + dy) * rs + (bz + dz) * rs * rs + offs)
+    return jnp.stack(corners, axis=1)  # [Ld, 8, N]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dense_levels_encode_stoch(spec: HashGridSpec, dense_planes, x, y, z):
+    """Stochastic dense-level encode: -> [2, Ld, N].
+
+    dense_planes: [2, T_dense] f32 prefix of the full plane table covering
+    the dense levels. Same dithered-trilinear estimator as the hash levels
+    (_stochastic_corner_plan), fetching pair-packed words by per-corner
+    index instead of the width-16 cell-row gather — under fwd_corners=1 a
+    point-level costs ONE ~7 ns pair gather vs one ~21.5 ns row gather
+    (docs/PERF.md round-4 attribution), trading the scatter-free row
+    backward for a k-corner scatter. TRAIN-ONLY (position-bit draws);
+    gated by spec.dense_corners < 8, which only train.build_fields sets.
+    """
+    out, _ = _dense_stoch_fwd(spec, dense_planes, x, y, z)
+    return out
+
+
+def _dense_stoch_fwd(spec, dense_planes, x, y, z):
+    dense, _ = _split_levels(spec)
+    Ld = len(dense)
+    N = x.shape[0]
+    k = int(getattr(spec, "dense_corners", 8))
+    idx3 = _dense_level_indices(spec, dense, x, y, z)  # [Ld, 8, N]
+    packed = _pack_pairs_bf16(dense_planes)  # [T_dense]
+    sel, coef = _stochastic_corner_plan(
+        dense, x, y, z, idx3, k, clamp=True, salt=_DENSE_SALT
+    )
+    words = jnp.take(packed, sel.reshape(-1), axis=0).reshape(k, Ld, N)
+    f0, f1 = _unpack_pairs(words)
+    e0 = jnp.sum(f0 * coef, axis=0)  # [Ld, N]
+    e1 = jnp.sum(f1 * coef, axis=0)
+    return jnp.stack([e0, e1]), (x, y, z)
+
+
+def _dense_stoch_bwd(spec, res, g):
+    x, y, z = res
+    dense, _ = _split_levels(spec)
+    Ld = len(dense)
+    N = x.shape[0]
+    T_dense = sum(lp["size"] for lp in dense)
+    k = int(getattr(spec, "dense_corners", 8))
+    b = min(int(getattr(spec, "grad_corners", 8)), k)
+    # replay the forward's deterministic plan (b == k) or an equally
+    # unbiased b-draw re-plan (b < k) — same scheme as _hash_levels_bwd
+    idx3 = _dense_level_indices(spec, dense, x, y, z)
+    sel, coef = _stochastic_corner_plan(
+        dense, x, y, z, idx3, b, clamp=True, salt=_DENSE_SALT
+    )
+    sel = sel.reshape(-1)
+    gv0 = (g[0][None] * coef).reshape(-1)
+    gv1 = (g[1][None] * coef).reshape(-1)
+    grad0 = jnp.zeros((T_dense,), jnp.float32).at[sel].add(gv0, mode="drop")
+    grad1 = jnp.zeros((T_dense,), jnp.float32).at[sel].add(gv1, mode="drop")
+    return jnp.stack([grad0, grad1]), None, None, None
+
+
+_dense_levels_encode_stoch.defvjp(_dense_stoch_fwd, _dense_stoch_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public op
 # ---------------------------------------------------------------------------
 
@@ -486,7 +588,12 @@ def hash_encode_planar(
       twin of fields.ngp.hashgrid_encode's [N, L*F] output.
     """
     dense, hashed = _split_levels(spec)
-    e0d, e1d = _dense_levels_encode(spec, dense, planes, x, y, z, dtype)
+    if int(getattr(spec, "dense_corners", 8)) < 8 and dense:
+        T_dense = sum(lp["size"] for lp in dense)
+        ed = _dense_levels_encode_stoch(spec, planes[:, :T_dense], x, y, z)
+        e0d, e1d = ed[0], ed[1]
+    else:
+        e0d, e1d = _dense_levels_encode(spec, dense, planes, x, y, z, dtype)
 
     hash_base = hashed[0]["offset"]
     hp = planes[:, hash_base:]

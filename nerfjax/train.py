@@ -66,6 +66,11 @@ def build_fields(cfg: ConfigNode, train: bool = False):
         fwd_corners = int(cfg.get("hash_fwd_corners", 8)) if train else 8
         if not 1 <= fwd_corners <= 8:
             raise ValueError(f"hash_fwd_corners must be in 1..8, got {fwd_corners}")
+        dense_corners = int(cfg.get("hash_dense_corners", 8)) if train else 8
+        if not 1 <= dense_corners <= 8:
+            raise ValueError(
+                f"hash_dense_corners must be in 1..8, got {dense_corners}"
+            )
         n_levels = int(cfg.get("hash_n_levels", 16))
         if n_levels < 1:
             raise ValueError(f"hash_n_levels must be >= 1, got {n_levels}")
@@ -73,6 +78,7 @@ def build_fields(cfg: ConfigNode, train: bool = False):
             nerf_type=cfg.get("nerf_type", "large"),
             grad_corners=int(cfg.get("hash_grad_corners", 8)),
             fwd_corners=fwd_corners,
+            dense_corners=dense_corners,
             # Tuned op point (Parity+): fewer levels drop the finest hash
             # grids (16 levels reach res ~7000^3 — far beyond the 512^3
             # volume this pipeline ever extracts) and shrink the gather/

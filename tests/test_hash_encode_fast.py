@@ -397,3 +397,109 @@ def test_dense_encode_bf16_packed_matches_fp32_path():
     np.testing.assert_allclose(
         np.asarray(lo, np.float32), np.asarray(hi, np.float32), atol=2e-2, rtol=5e-2
     )
+
+
+def test_stochastic_dense_unbiased_and_consistent():
+    """dense_corners=k<8 dithers the DENSE-level trilinear interpolation the
+    same way fwd_corners dithers the hashed levels (round-5 lever: under k=1
+    a dense point-level costs one ~7 ns pair gather instead of one ~21.5 ns
+    cell-row gather — docs/PERF.md). Checks mirror
+    test_stochastic_forward_unbiased_and_consistent, but for the dense
+    prefix: (a) jitter-mean converges to the exact interpolation, (b) hashed
+    rows are BIT-identical (the knob must not touch them), (c) the VJP
+    preserves total gradient mass with support inside the exact support,
+    (d) boundary clamping matches the exact path (points outside [0,1])."""
+    import dataclasses
+
+    spec8 = HashGridSpec(n_levels=6, log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=2.0, extra_dense_levels=1)
+    from nerfjax.ops.hash_encode import _split_levels
+
+    dense, hashed = _split_levels(spec8)
+    Ld, Lh = len(dense), len(hashed)
+    assert Ld >= 2 and Lh >= 1, (Ld, Lh)
+    L = Ld + Lh
+
+    rng = np.random.default_rng(2)
+    planes = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (2, spec8.total_table_size)).astype(np.float32)
+    )
+
+    N = 20000
+    base = np.asarray([0.4321, 0.6173, 0.2917], np.float32)
+    jit = rng.uniform(0.0, 1e-6, (N, 3)).astype(np.float32)
+    p = base[None, :] + jit
+    x, y, z = (jnp.asarray(p[:, i]) for i in range(3))
+
+    def enc(spec):
+        return np.asarray(hash_encode_planar(spec, planes, x, y, z,
+                                             dtype=jnp.float32))
+
+    e_exact = enc(spec8)
+    dense_rows = np.r_[0:Ld, L:L + Ld]
+    hash_rows = np.r_[Ld:L, L + Ld:2 * L]
+    for k in (1, 2):
+        e_stoch = enc(dataclasses.replace(spec8, dense_corners=k))
+        # (a) unbiased on the dense rows
+        diff = (e_stoch - e_exact)[dense_rows].mean(axis=1)
+        assert np.max(np.abs(diff)) < 5e-4, (k, diff)
+        assert np.abs((e_stoch - e_exact)[dense_rows]).max() > 1e-5, k
+        # (b) hashed rows untouched
+        np.testing.assert_array_equal(e_stoch[hash_rows], e_exact[hash_rows])
+
+    # (c) gradient mass preserved, support subset (dense table prefix)
+    T_dense = sum(lp["size"] for lp in dense)
+
+    def grad(spec):
+        def f(pl):
+            return jnp.sum(hash_encode_planar(spec, pl, x, y, z,
+                                              dtype=jnp.float32) * 0.001)
+        return np.asarray(jax.grad(f)(planes))
+
+    g_exact = grad(spec8)
+    for k in (1, 2):
+        g_stoch = grad(dataclasses.replace(spec8, dense_corners=k))
+        np.testing.assert_allclose(
+            g_stoch[:, :T_dense].sum(axis=1), g_exact[:, :T_dense].sum(axis=1),
+            rtol=1e-4,
+        )
+        assert np.all(
+            (g_stoch[:, :T_dense] != 0) <= (g_exact[:, :T_dense] != 0)
+        ), k
+        # hashed-table gradient identical
+        np.testing.assert_array_equal(g_stoch[:, T_dense:], g_exact[:, T_dense:])
+
+    # (d) clamp semantics at/beyond the boundary: the k=1 estimator must
+    # draw only in-range corners and its jitter-mean must match the exact
+    # clamped interpolation
+    pb = np.clip(base + np.asarray([0.999, -0.5, 0.6], np.float32), -0.2, 1.2)
+    jb = rng.uniform(0.0, 1e-6, (N, 3)).astype(np.float32)
+    q = pb[None, :] + jb
+    xb, yb, zb = (jnp.asarray(q[:, i]) for i in range(3))
+
+    eb_exact = np.asarray(hash_encode_planar(spec8, planes, xb, yb, zb,
+                                             dtype=jnp.float32))
+    eb_stoch = np.asarray(
+        hash_encode_planar(dataclasses.replace(spec8, dense_corners=1),
+                           planes, xb, yb, zb, dtype=jnp.float32)
+    )
+    diff = (eb_stoch - eb_exact)[dense_rows].mean(axis=1)
+    assert np.max(np.abs(diff)) < 5e-4, diff
+
+
+def test_dense_corners_flows_from_cfg_train_only():
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import build_fields
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_dense_corners": 1}))
+    fc_eval, _, _ = build_fields(cfg)
+    assert fc_eval.spec.dense_corners == 8
+    fc_train, _, _ = build_fields(cfg, train=True)
+    assert fc_train.spec.dense_corners == 1
+
+    bad = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "hash_dense_corners": 9}))
+    with pytest.raises(ValueError):
+        build_fields(bad, train=True)
