@@ -43,25 +43,64 @@ def main() -> None:
             }
         )
     )
+    import numpy as np
+
+    # Arms (round-5 verdict #5, extraction headroom below 60 s):
+    #   r4-full:   the round-4 configuration (full rgb+sigma coarse pass)
+    #   dens:      density-only fused coarse pass (sigma bit-identical ->
+    #              marks/threshold/occupancy identical; unmarked-cell RGB
+    #              zeroed, which the sparse fetch zeroes anyway)
+    #   dens-ss1:  + coarse pass at cell centers (8x fewer coarse queries);
+    #              equality vs dens is MEASURED here, not assumed
+    # Each arm runs cold then warm (remote compiles 2-4 min, cached after).
+    arms = [
+        ("r4-full", dict(coarse_density_only=False, coarse_supersample=2)),
+        ("dens", dict(coarse_density_only=True, coarse_supersample=2)),
+        ("dens-ss1", dict(coarse_density_only=True, coarse_supersample=1)),
+    ]
     results = []
-    for run in ("cold", "warm"):
-        t0 = time.perf_counter()
-        vol = extract_volume(cfg, verbose=False)
-        dt = time.perf_counter() - t0
-        occ = vol["occupancy_volume"]
-        meta = vol["metadata"]
-        row = {
-            "run": run,
-            "wall_s": round(dt, 1),
-            "query_s": round(float(meta.get("query_seconds", -1)), 1),
-            "transfer_s": round(float(meta.get("transfer_seconds", -1)), 1),
-            "occupied_ratio": round(float(occ.mean()), 4),
-            "sparse_fetch": bool(meta.get("sparse_fetch", False)),
+    vols = {}
+    for name, kw in arms:
+        for run in ("cold", "warm"):
+            t0 = time.perf_counter()
+            vol = extract_volume(cfg, verbose=False, **kw)
+            dt = time.perf_counter() - t0
+            occ = vol["occupancy_volume"]
+            meta = vol["metadata"]
+            row = {
+                "arm": name,
+                "run": run,
+                "wall_s": round(dt, 1),
+                "query_s": round(float(meta.get("query_seconds", -1)), 1),
+                "transfer_s": round(float(meta.get("transfer_seconds", -1)), 1),
+                "occupied_ratio": round(float(occ.mean()), 4),
+                "marked_cells": int(meta.get("marked_cells", -1)),
+                "sparse_fetch": bool(meta.get("sparse_fetch", False)),
+            }
+            print(json.dumps(row), flush=True)
+            results.append(row)
+        vols[name] = vol
+
+    # equality gates on the REAL checkpoint
+    eq = {}
+    base = vols["r4-full"]
+    for name in ("dens", "dens-ss1"):
+        v = vols[name]
+        eq[name] = {
+            "occupancy_equal": bool(
+                np.array_equal(v["occupancy_volume"], base["occupancy_volume"])
+            ),
+            "rgb_equal": bool(np.array_equal(v["rgb_volume"], base["rgb_volume"])),
+            "threshold_equal": v["metadata"]["threshold"]
+            == base["metadata"]["threshold"],
+            "occupancy_agree": float(
+                (v["occupancy_volume"] == base["occupancy_volume"]).mean()
+            ),
         }
-        print(json.dumps(row))
-        results.append(row)
+        print(json.dumps({name: eq[name]}), flush=True)
+
     out = HERE / "out" / "extract_tuned.json"
-    out.write_text(json.dumps(results, indent=2) + "\n")
+    out.write_text(json.dumps({"rows": results, "equality": eq}, indent=2) + "\n")
 
 
 if __name__ == "__main__":

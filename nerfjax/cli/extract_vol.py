@@ -20,6 +20,14 @@ def main() -> None:
                    help="fetch the full dense RGB volume from device even in "
                         "hierarchical mode (default: occupied-voxel-compacted "
                         "fetch; unoccupied RGB comes back as zeros)")
+    p.add_argument("--coarse-full", action="store_true",
+                   help="run the hierarchical coarse mark pass through the "
+                        "full rgb+sigma head (default: density-only fused "
+                        "kernel when the sparse fetch is active — identical "
+                        "occupancy, zeroed unmarked-cell RGB)")
+    p.add_argument("--coarse-ss", type=int, default=2, choices=[1, 2],
+                   help="coarse-pass subsamples per cell per axis (1 = cell "
+                        "centers only, 8x fewer coarse queries)")
     # legacy-extractor extras (reference: scripts/extract_occupancy_volume.py)
     p.add_argument("--density-only", action="store_true",
                    help="store only occupancy (zeroed RGB), like the legacy extractor's density mode")
@@ -65,6 +73,8 @@ def main() -> None:
         view_direction=tuple(args.view_direction),
         hierarchical=False if args.exact else None,
         sparse_fetch=False if args.dense_fetch else None,
+        coarse_density_only=False if args.coarse_full else None,
+        coarse_supersample=args.coarse_ss,
     )
     if args.density_only:
         vol["rgb_volume"] = vol["rgb_volume"] * 0

@@ -38,6 +38,36 @@ def _field_eval(field, params, pos3, view3, dtype):
     return field.apply_planar(params, pos3, view3, dtype=dtype)
 
 
+def _density_eval(field, params, pos3, dtype):
+    """Inference density-only eval: fused Pallas kernel on TPU (bit-identical
+    sigma to the full fused head), XLA query_density elsewhere."""
+    if (
+        hasattr(field, "query_density_planar_fused")
+        and jax.default_backend() == "tpu"
+    ):
+        return field.query_density_planar_fused(params, pos3, dtype=dtype)
+    if hasattr(field, "query_density_planar"):
+        sigma, _ = field.query_density_planar(params, pos3, dtype=dtype)
+        return sigma
+    # duck-typed field (tests): sigma from the full eval at a fixed view
+    zero_view = tuple(jnp.zeros_like(pos3[0]) for _ in range(3))
+    _, sigma = _field_eval(field, params, pos3, zero_view, dtype)
+    return sigma
+
+
+def _slab_query_density(field, params, zs: jnp.ndarray, res: int, bounds, dtype):
+    """Density-only twin of _slab_query: returns sigma [nz, R, R]."""
+    lo, hi = bounds
+    coords = jnp.linspace(lo, hi, res, dtype=jnp.float32)
+    nz = zs.shape[0]
+    xs = coords[zs]
+    px = jnp.broadcast_to(xs[:, None, None], (nz, res, res)).reshape(-1)
+    py = jnp.broadcast_to(coords[None, :, None], (nz, res, res)).reshape(-1)
+    pz = jnp.broadcast_to(coords[None, None, :], (nz, res, res)).reshape(-1)
+    sigma = _density_eval(field, params, (px, py, pz), dtype)
+    return sigma.astype(jnp.float32).reshape(nz, res, res)
+
+
 def _slab_query(field, params, zs: jnp.ndarray, res: int, bounds, view, dtype):
     """Evaluate density+rgb for all voxels of |zs| z-slabs: returns
     (sigma [nz, R, R], rgb [nz, R, R, 3] in [0,1])."""
@@ -74,6 +104,8 @@ def extract_volume(
     verbose: bool = True,
     hierarchical: bool | None = None,
     sparse_fetch: bool | None = None,
+    coarse_density_only: bool | None = None,
+    coarse_supersample: int = 2,
 ) -> dict:
     """Full extraction: checkpoint -> dense colored occupancy volume dict.
 
@@ -116,6 +148,8 @@ def extract_volume(
         return _extract_hierarchical(
             cfg, field_fine, fine_params, res, bounds, view, mesh, dtype, verbose,
             sparse_fetch,
+            coarse_density_only=coarse_density_only,
+            coarse_supersample=coarse_supersample,
         )
 
     # pad x-slabs so every scan step processes n_dev * slab slices
@@ -285,18 +319,38 @@ def _dilate_mask(mask: np.ndarray) -> np.ndarray:
 def _extract_hierarchical(
     cfg, field, fine_params, res, bounds, view, mesh, dtype, verbose,
     sparse_fetch: bool = True,
+    coarse_density_only: bool | None = None,
+    coarse_supersample: int = 2,
 ) -> dict:
     """Two-level extraction: supersampled coarse pass -> refine marked blocks.
 
     Empty space (the bulk of a [-1,1]^3 scene) is only touched by the coarse
     pass; this is what brings 512^3 extraction under the 60 s target on one
     v5e chip (the exhaustive sweep is 134M field queries).
+
+    coarse_density_only (default: follows sparse_fetch) runs the mark pass
+    through the density-only fused kernel — sigma is bit-identical to the
+    full head, so marks/threshold/occupancy are unchanged; only the RGB of
+    voxels in UNMARKED cells changes (to zeros). Those voxels are below the
+    coarse margin, hence below the final Otsu threshold, hence unoccupied —
+    and the sparse fetch already returns unoccupied RGB as zeros, so with
+    sparse_fetch the output volume is byte-identical while the coarse pass
+    skips the color MLP + SH and the [res2^3, 3] f32 RGB accumulator.
+
+    coarse_supersample: subsamples per coarse cell per axis (2 = the
+    default 2^3-max mark; 1 = cell centers only, 8x fewer coarse queries —
+    a measured-equality lever, see benchmarks/extract_tuned.py).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     B = 4  # fine voxels per coarse cell per axis
     C = res // B
-    res2 = 2 * C  # supersampled coarse grid (2^3 subsamples per cell)
+    ss = int(coarse_supersample)
+    if ss not in (1, 2):
+        raise ValueError(f"coarse_supersample must be 1 or 2, got {ss}")
+    res2 = ss * C  # supersampled coarse grid (ss^3 subsamples per cell)
+    if coarse_density_only is None:
+        coarse_density_only = sparse_fetch
     lo, hi = bounds
     n_dev = len(mesh.devices.ravel())
 
@@ -305,44 +359,70 @@ def _extract_hierarchical(
 
     t0 = time.time()
     # -- coarse pass (device-resident accumulation) ---------------------------
-    def coarse_accum(params, cs_vol, cr_vol, zs):
-        sig, rgb = _slab_query(field, params, zs, res2, bounds, view, dtype)
-        start = zs[0]
-        cs_vol = jax.lax.dynamic_update_slice(cs_vol, sig, (start, 0, 0))
-        cr_vol = jax.lax.dynamic_update_slice(
-            cr_vol, jnp.moveaxis(rgb, 0, -1), (start, 0, 0, 0)
-        )
-        return cs_vol, cr_vol
-
-    coarse_query = jax.jit(
-        coarse_accum,
-        in_shardings=(repl, repl, repl, shard0),
-        out_shardings=(repl, repl),
-        donate_argnums=(1, 2),
-    )
     step_slices = max(n_dev * 8, n_dev)
     n_csteps = -(-res2 // step_slices)
     padded2 = n_csteps * step_slices
     sig2 = jnp.zeros((padded2, res2, res2), jnp.float32)
-    rgb2 = jnp.zeros((padded2, res2, res2, 3), jnp.float32)
-    for s in range(n_csteps):
-        zs = np.minimum(
-            np.arange(s * step_slices, (s + 1) * step_slices), res2 - 1
-        ).astype(np.int32)
-        sig2, rgb2 = coarse_query(fine_params, sig2, rgb2, jnp.asarray(zs))
-    sig2 = sig2[:res2]
-    rgb2 = rgb2[:res2]
+    if coarse_density_only:
+        def coarse_accum_d(params, cs_vol, zs):
+            sig = _slab_query_density(field, params, zs, res2, bounds, dtype)
+            return jax.lax.dynamic_update_slice(cs_vol, sig, (zs[0], 0, 0))
 
-    # per-cell max over the 2^3 subsamples; broadcast defaults to full res —
+        coarse_query = jax.jit(
+            coarse_accum_d,
+            in_shardings=(repl, repl, shard0),
+            out_shardings=repl,
+            donate_argnums=(1,),
+        )
+        rgb2 = None
+        for s in range(n_csteps):
+            zs = np.minimum(
+                np.arange(s * step_slices, (s + 1) * step_slices), res2 - 1
+            ).astype(np.int32)
+            sig2 = coarse_query(fine_params, sig2, jnp.asarray(zs))
+    else:
+        def coarse_accum(params, cs_vol, cr_vol, zs):
+            sig, rgb = _slab_query(field, params, zs, res2, bounds, view, dtype)
+            start = zs[0]
+            cs_vol = jax.lax.dynamic_update_slice(cs_vol, sig, (start, 0, 0))
+            cr_vol = jax.lax.dynamic_update_slice(
+                cr_vol, jnp.moveaxis(rgb, 0, -1), (start, 0, 0, 0)
+            )
+            return cs_vol, cr_vol
+
+        coarse_query = jax.jit(
+            coarse_accum,
+            in_shardings=(repl, repl, repl, shard0),
+            out_shardings=(repl, repl),
+            donate_argnums=(1, 2),
+        )
+        rgb2 = jnp.zeros((padded2, res2, res2, 3), jnp.float32)
+        for s in range(n_csteps):
+            zs = np.minimum(
+                np.arange(s * step_slices, (s + 1) * step_slices), res2 - 1
+            ).astype(np.int32)
+            sig2, rgb2 = coarse_query(fine_params, sig2, rgb2, jnp.asarray(zs))
+        rgb2 = rgb2[:res2]
+    sig2 = sig2[:res2]
+
+    # per-cell max over the ss^3 subsamples; broadcast defaults to full res —
     # all on device; only the [C^3] cell maxima come to host (for argwhere).
     @jax.jit
     def coarse_reduce(sig2, rgb2):
-        cell_sigma = sig2.reshape(C, 2, C, 2, C, 2).max(axis=(1, 3, 5))
-        cell_rgb = rgb2[::2, ::2, ::2]
+        if ss == 1:
+            cell_sigma = sig2
+        else:
+            cell_sigma = sig2.reshape(C, ss, C, ss, C, ss).max(axis=(1, 3, 5))
         def rep(a):
             return jnp.repeat(jnp.repeat(jnp.repeat(a, B, 0), B, 1), B, 2)
         sigma_vol = rep(cell_sigma)
-        rgb_vol = jnp.clip(jnp.round(rep(cell_rgb) * 255.0), 0, 255).astype(jnp.uint8)
+        if rgb2 is None:
+            rgb_vol = jnp.zeros((res, res, res, 3), jnp.uint8)
+        else:
+            cell_rgb = rgb2[::ss, ::ss, ::ss]
+            rgb_vol = jnp.clip(
+                jnp.round(rep(cell_rgb) * 255.0), 0, 255
+            ).astype(jnp.uint8)
         return cell_sigma, sigma_vol, rgb_vol
 
     cell_sigma_dev, sigma_vol, rgb_vol = coarse_reduce(sig2, rgb2)
@@ -460,6 +540,8 @@ def _extract_hierarchical(
             "rgb_global_max": rgb_global_max,
             "hierarchical": True,
             "marked_cells": n_marked,
+            "coarse_density_only": bool(coarse_density_only),
+            "coarse_supersample": ss,
         },
     }
 

@@ -372,6 +372,23 @@ class InstantNGP:
         rgb, sigma = fused_ngp_head(params, enc, sh, interpret=interpret)
         return rgb, sigma
 
+    def query_density_planar_fused(
+        self, params: Params, pos3, *, dtype=jnp.bfloat16,
+        interpret: bool = False, **_: Any
+    ) -> jnp.ndarray:
+        """sigma [N] via the density-only fused Pallas kernel — bit-identical
+        sigma to apply_planar_fused (same two f32-accumulated dmlp matmuls),
+        skipping the color MLP + SH. Used by the extraction coarse mark pass
+        (nerfjax.extract), which never reads coarse RGB."""
+        from nerfjax.ops.hash_encode import hash_encode_planar
+        from nerfjax.ops.pallas_mlp import fused_ngp_density
+
+        x = jnp.clip((pos3[0] + 1.0) * 0.5, 0.0, 1.0)
+        y = jnp.clip((pos3[1] + 1.0) * 0.5, 0.0, 1.0)
+        z = jnp.clip((pos3[2] + 1.0) * 0.5, 0.0, 1.0)
+        enc = hash_encode_planar(self.spec, params["table"], x, y, z, dtype=dtype)
+        return fused_ngp_density(params, enc, interpret=interpret)
+
     def apply_planar(
         self, params: Params, pos3, view3, *, dtype=jnp.bfloat16, **_: Any
     ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -93,3 +93,47 @@ def fused_ngp_head(
     rgb = out[0:3, :n]
     sigma = out[3, :n]
     return rgb, sigma
+
+
+def _density_kernel(enc_ref, w1_ref, w2_ref, out_ref):
+    """Density-only tile: enc [E,T] -> out [1,T] (sigma = dmlp feat row 0).
+    Bit-identical sigma to _head_kernel (same two f32-accumulated matmuls);
+    skips w3-w5 + SH entirely — the coarse extraction mark pass never reads
+    RGB (reference workload: scripts/extract_vol.py:85-120)."""
+    f = jnp.float32
+    h = jnp.maximum(jnp.dot(w1_ref[:], enc_ref[:], preferred_element_type=f), 0.0)
+    # full w2 dot (same shape as _head_kernel's -> same accumulation order,
+    # hence bit-identical sigma); the extra 15 rows are ~free vs w3-w5
+    feat = jnp.maximum(jnp.dot(w2_ref[:], h, preferred_element_type=f), 0.0)
+    out_ref[:] = feat[0:1, :].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_ngp_density(
+    params: dict, enc: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """sigma [N] from enc [E,N] — the density-only twin of fused_ngp_head."""
+    n = enc.shape[1]
+    n_pad = -(-n // TILE) * TILE
+    if n_pad != n:
+        enc = jnp.pad(enc, ((0, 0), (0, n_pad - n)))
+
+    dt = enc.dtype
+    w1 = params["dmlp"][0]["w"].T.astype(dt)  # [64, E]
+    w2 = params["dmlp"][1]["w"].T.astype(dt)  # [16, 64]
+
+    grid = (n_pad // TILE,)
+    data_spec = lambda c: pl.BlockSpec(
+        (c, TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _density_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), dt),
+        grid=grid,
+        in_specs=[data_spec(enc.shape[0]), w_spec, w_spec],
+        out_specs=data_spec(1),
+        interpret=interpret,
+    )(enc, w1, w2)
+    return out[0, :n]

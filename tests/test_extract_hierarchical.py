@@ -131,3 +131,68 @@ def test_sharded_extraction_matches_single_device():
     np.testing.assert_array_equal(v8["rgb_volume"], v1["rgb_volume"])
     assert v8["metadata"]["threshold"] == v1["metadata"]["threshold"]
     assert v8["metadata"]["occupied_voxels"] == v1["metadata"]["occupied_voxels"]
+
+
+@pytest.mark.slow
+def test_coarse_density_only_identical_occupancy(tmp_path):
+    """The density-only coarse mark pass must reproduce the full-head
+    hierarchical extraction exactly on occupancy/threshold, and on RGB
+    everywhere the sparse fetch reads (occupied voxels)."""
+    from nerfjax.train import init_params
+
+    cfg = _cfg(tmp_path)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["model"]["table"] = params["model"]["table"] * 2000.0
+
+    kwargs = dict(params=params, resolution=32, hierarchical=True,
+                  sparse_fetch=True, verbose=False)
+    full = extract_volume(cfg, coarse_density_only=False, **kwargs)
+    dens = extract_volume(cfg, coarse_density_only=True, **kwargs)
+
+    np.testing.assert_array_equal(
+        dens["occupancy_volume"], full["occupancy_volume"]
+    )
+    assert dens["metadata"]["threshold"] == full["metadata"]["threshold"]
+    assert dens["metadata"]["marked_cells"] == full["metadata"]["marked_cells"]
+    # sparse fetch zeroes unoccupied RGB in BOTH arms -> full volumes equal
+    np.testing.assert_array_equal(dens["rgb_volume"], full["rgb_volume"])
+    assert dens["metadata"]["coarse_density_only"] is True
+
+
+@pytest.mark.slow
+def test_coarse_supersample1_close_occupancy(tmp_path):
+    """ss=1 (cell centers, 8x fewer coarse queries) is a measured-equality
+    lever: on the smooth test field it must agree with ss=2 on nearly every
+    voxel; exact equality is asserted on the REAL checkpoint by
+    benchmarks/extract_tuned.py before any default change."""
+    from nerfjax.train import init_params
+
+    cfg = _cfg(tmp_path)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["model"]["table"] = params["model"]["table"] * 2000.0
+
+    kwargs = dict(params=params, resolution=32, hierarchical=True,
+                  sparse_fetch=True, verbose=False)
+    ss2 = extract_volume(cfg, coarse_supersample=2, **kwargs)
+    ss1 = extract_volume(cfg, coarse_supersample=1, **kwargs)
+    agree = (ss1["occupancy_volume"] == ss2["occupancy_volume"]).mean()
+    assert agree > 0.98, agree
+    assert ss1["metadata"]["coarse_supersample"] == 1
+
+
+def test_fused_density_matches_fused_head_sigma():
+    """fused_ngp_density must produce bit-identical sigma to fused_ngp_head
+    (same two f32-accumulated dmlp matmuls) — interpret mode (no TPU)."""
+    import jax.numpy as jnp
+
+    from nerfjax.fields.ngp import InstantNGP
+    from nerfjax.ops.pallas_mlp import fused_ngp_density, fused_ngp_head
+
+    model = InstantNGP("small")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.normal(size=(32, 300)).astype(np.float32))
+    sh = jnp.asarray(rng.normal(size=(16, 300)).astype(np.float32))
+    _, sigma_head = fused_ngp_head(params, enc, sh, interpret=True)
+    sigma_dens = fused_ngp_density(params, enc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sigma_dens), np.asarray(sigma_head))
