@@ -5,14 +5,17 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12Led2_single_pass48_sgrad1_fwd1`: the round-4 tuned
+  * headline `tuned12Led2_single_pass48_sgrad1_fwd1_sc`: the round-5 tuned
     op point (cfg/blender_scene_tuned.yml) — single-pass occupancy
     sampling (all 48 samples/ray drawn from the occupancy-grid CDF, no
     coarse network pass — instant-ngp's actual design) + unbiased
     stochastic corner gradients (hash_grad_corners=1) + stochastic
     1-corner dithered-trilinear FORWARD (hash_fwd_corners=1, train-only)
     + 12 hash levels (drops the 4 finest levels, whose res 1846-6231
-    exceeds any 512^3 extraction) + 2 promoted dense levels
+    exceeds any 512^3 extraction) + stratified arithmetic inverse-CDF
+    sampling (occ_fast_cdf, +29.3% same-session; r4b_decision.py ADOPT)
+    + rotating 1/4 occupancy refresh (occ_update_partitions=4, amortized
+    update 15.2 -> 4.4 ms/step) + 2 promoted dense levels
     (res-81/res-122 stored collision-free as cell-rows: 1 width-16
     gather replaces 8 width-1 gathers, backward scatter-free). PSNR
     in-spread with the 16-level reference shape — spass12L/spass12Led2/
@@ -20,7 +23,8 @@ JSON line — they are different quantities and must not be conflated
     NGP-large/8192 shape across 3 seeds the f1 arm means 33.99 dB vs
     the exact forward's 33.32 and uniform's 30.42, adopted by the
     pre-registered rule (benchmarks/fwd_decision.py: +66.2% throughput,
-    psnr_ok AND tput_ok).
+    psnr_ok AND tput_ok); the sc/scp4 sampler arms mean 33.88 vs the
+    in-spread floor 32.15 (benchmarks/r4b_decision.py ADOPT, round 5).
     A ray here costs far less field work than the reference's 256-sample
     ray, so rays/s is NOT comparable 1:1 with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
@@ -46,11 +50,11 @@ Baseline: the reference publishes no numbers (BASELINE.md). Two anchors:
     zero torch/Python overhead); the realistic estimate from the
     launch-overhead decomposition in BASELINE.md is 70-130k rays/s.
     North-star status (stated plainly): the drop-in point is ~0.05-0.1x
-    of the realistic reference-GPU estimate on one v5e chip; the round-4
-    tuned point (43.8k rays/s/chip) x 8 chips is ~2.7-5.0x of it on raw
-    throughput, and >=5x under PSNR-per-wall-clock (docs/PERF.md) since
-    the tuned point reaches equal-or-better PSNR than the drop-in
-    sampling in the same step count.
+    of the realistic reference-GPU estimate on one v5e chip; the round-5
+    tuned point (61.1k rays/s/chip) x 8 chips is ~3.8-7.0x of it on raw
+    throughput (carried as `vs_ref_band` in the JSON), and >=5x under
+    PSNR-per-wall-clock (docs/PERF.md) since the tuned point reaches
+    equal-or-better PSNR than the drop-in sampling in the same step count.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
 "secondary": {...}}.
@@ -110,7 +114,7 @@ BOUND_UTILIZATION = {
 # measurement windows; a dead tunnel at bench time should not erase the
 # round's real numbers from the artifact.
 LAST_MEASURED = {
-    "tuned12Led2_single_pass48_sgrad1_fwd1": 43775.0,
+    "tuned12Led2_single_pass48_sgrad1_fwd1_sc": 61106.0,
     "single_pass48_sgrad2": 11336.5,
     "drop_in_64_192_exact": 1045.2,
     "note": "previous clean-session v5e-1 measurement (docs/PERF.md); "
@@ -225,7 +229,7 @@ def _payload(error: str | None = None) -> str:
     return json.dumps(
         {
             **_rec(
-                "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1_fwd1",
+                "train_rays_per_sec_per_chip_ngp_large_tuned12Led2_single_pass48_sgrad1_fwd1_sc",
                 _STATE["tuned"], error,
             ),
             **_vs_ref_band(_STATE["tuned"]),
@@ -337,6 +341,8 @@ def main() -> None:
                 "hash_extra_dense_levels": 2,
                 "hash_grad_corners": 1,
                 "hash_fwd_corners": 1,
+                "occ_fast_cdf": True,
+                "occ_update_partitions": 4,
             },
             warmup=3,
             steps=20,

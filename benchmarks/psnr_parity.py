@@ -86,12 +86,20 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     #   "p<P>"  = occ_update_partitions=P (rotating 1/P grid refresh)
     #   "dc<k>" = hash_dense_corners=k (stochastic dithered-trilinear DENSE
     #             levels: pair gathers + k-corner scatter)
+    #   "ns<n>" = total single-pass sample count: ns32 = 16+16, ns24 = 8+16
+    #             (the base occupancy arms fix 16+32 = 48)
     # The base arm fixes every other knob.
     fast_cdf = False
     partitions = 1
     fwd_corners = 8
     dense_corners = 8
+    ns_override = None
     while True:
+        m = re.fullmatch(r"(.+?)ns(32|24)", arm)
+        if m:
+            arm = m.group(1)
+            ns_override = {"32": (16, 16), "24": (8, 16)}[m.group(2)]
+            continue
         m = re.fullmatch(r"(.+?)dc([1-7])", arm)
         if m:
             arm, dense_corners = m.group(1), int(m.group(2))
@@ -115,7 +123,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     # residual must be a registered base arm, never a truncated one.
     known_base = ("uniform", "occupancy", "sgrad2", "spass2", "spass1",
                   "spass8", "spass12L", "spass12L32", "spass12Led2",
-                  "spass10Led2", "spass12Led2k1")
+                  "spass10Led2", "spass12Led2k1", "spass12Led1k1")
     if arm not in known_base:
         raise ValueError(
             f"arm suffix stripping left unknown base arm {arm!r}; "
@@ -124,7 +132,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
 
     occupancy = arm in ("occupancy", "sgrad2", "spass2", "spass1", "spass8",
                         "spass12L", "spass12L32", "spass12Led2", "spass10Led2",
-                        "spass12Led2k1")
+                        "spass12Led2k1", "spass12Led1k1")
     out_dir = OUT / "parity" / tag
     return with_defaults(
         ConfigNode(
@@ -135,9 +143,13 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "batch_size": batch,
                 "num_epochs": steps // STEPS_PER_EPOCH,
                 "lr": 5e-4,
-                "N_samples": 16 if occupancy else 64,
+                "N_samples": (
+                    ns_override[0] if (occupancy and ns_override)
+                    else 16 if occupancy else 64
+                ),
                 "N_importance": (
-                    16 if arm == "spass12L32" else 32 if occupancy else 128
+                    ns_override[1] if (occupancy and ns_override)
+                    else 16 if arm == "spass12L32" else 32 if occupancy else 128
                 ),
                 "precision": "bf16",
                 "occupancy_grid": occupancy,
@@ -145,21 +157,23 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                                       "spass12L": 2, "spass12L32": 2,
                                       "spass12Led2": 2,
                                       "spass10Led2": 2,
-                                      "spass12Led2k1": 1}.get(arm, 8),
+                                      "spass12Led2k1": 1,
+                                      "spass12Led1k1": 1}.get(arm, 8),
                 "single_pass": arm in ("spass2", "spass1", "spass8", "spass12L",
                                        "spass12L32", "spass12Led2", "spass10Led2",
-                                       "spass12Led2k1"),
+                                       "spass12Led2k1", "spass12Led1k1"),
                 "hash_n_levels": (
                     10
                     if arm == "spass10Led2"
                     else 12
                     if arm in ("spass12L", "spass12L32", "spass12Led2",
-                               "spass12Led2k1")
+                               "spass12Led2k1", "spass12Led1k1")
                     else 16
                 ),
                 "hash_extra_dense_levels": (
-                    2 if arm in ("spass12Led2", "spass10Led2",
-                                 "spass12Led2k1") else 0
+                    1 if arm == "spass12Led1k1"
+                    else 2 if arm in ("spass12Led2", "spass10Led2",
+                                      "spass12Led2k1") else 0
                 ),
                 "hash_fwd_corners": fwd_corners,
                 "hash_dense_corners": dense_corners,
@@ -294,7 +308,10 @@ def main() -> None:
                             "spass12Led2k1f1sc", "spass12Led2k1f1scp4",
                             # round-5 stochastic-dense probe (dc<k> =
                             # hash_dense_corners=k)
-                            "spass12Led2k1f1scdc1"],
+                            "spass12Led2k1f1scdc1",
+                            # round-5 dense-diet + sample-count probes
+                            "spass12Led1k1f1sc", "spass12Led2k1f1scns32",
+                            "spass12Led1k1f1scns32", "spass12Led1k1f1scns24"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")

@@ -246,8 +246,11 @@ def _optimizer_state_dict(opt_state, lr: float) -> dict:
 
 
 def save_train_state(
-    path: str | Path, cfg: ConfigNode, params, opt_state, epoch: int
+    path: str | Path, cfg: ConfigNode, params, opt_state, epoch: int,
+    occ_grid=None,
 ) -> None:
+    import io
+
     from flax import serialization
 
     params_host = jax.device_get(params)
@@ -264,6 +267,13 @@ def save_train_state(
         "optax_state.msgpack": serialization.to_bytes(jax.device_get(opt_state)),
         "params.msgpack": serialization.to_bytes(params_host),
     }
+    if occ_grid is not None:
+        # side-band npy record: resume restores the occupancy EMA instead of
+        # re-warming from all-ones (which over-samples empty space for the
+        # first update_every steps after a resume)
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(jax.device_get(occ_grid)))
+        extra["occ_grid.npy"] = buf.getvalue()
     pth.save(obj, path, extra_records=extra)
 
 
@@ -292,6 +302,17 @@ def restore_train_state(path: str | Path, cfg: ConfigNode, params_template, opt_
     else:
         opt_state = opt_state_template
     return params, opt_state, epoch
+
+
+def load_occ_grid(path: str | Path) -> np.ndarray | None:
+    """Occupancy-grid EMA saved alongside a nerfjax checkpoint, or None
+    (absent on reference-produced or pre-round-5 checkpoints)."""
+    import io
+
+    raw = pth.load_extra_record(path, "occ_grid.npy")
+    if raw is None:
+        return None
+    return np.load(io.BytesIO(raw))
 
 
 def load_field_params(path: str | Path, cfg: ConfigNode, which: str = "fine") -> dict:

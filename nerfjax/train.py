@@ -519,6 +519,10 @@ def train(
     opt_state = tx.init(params)
     step = jnp.zeros((), jnp.int32)
     start_epoch = 1
+    # all-ones warmup grid; replaced by the checkpointed EMA on resume
+    # (identical placeholder on every process — the resume broadcast
+    # requires a common structure)
+    occ_restored = init_occupancy(settings)
 
     if resume:
         # Only the lead resolves/reads checkpoints: it is the only writer,
@@ -532,6 +536,10 @@ def train(
             params, opt_state, restored_epoch = ckpt.restore_train_state(
                 latest, cfg, params, opt_state
             )
+            if settings.use_occupancy:
+                g = ckpt.load_occ_grid(latest)
+                if g is not None and g.shape == occ_restored.shape:
+                    occ_restored = jnp.asarray(g)
         if pc > 1:
             from jax.experimental import multihost_utils
 
@@ -539,8 +547,13 @@ def train(
                 multihost_utils.broadcast_one_to_all(np.int32(restored_epoch))
             )
             if restored_epoch > 0:
-                params, opt_state = multihost_utils.broadcast_one_to_all(
-                    (params, opt_state)
+                # the occupancy grid rides the same broadcast: every process
+                # must hold the SAME replicated grid or the jitted step's
+                # collectives diverge
+                params, opt_state, occ_restored = (
+                    multihost_utils.broadcast_one_to_all(
+                        (params, opt_state, occ_restored)
+                    )
                 )
         if restored_epoch > 0:
             start_epoch = restored_epoch + 1
@@ -576,7 +589,7 @@ def train(
         print(f"Starting training for {num_epochs} epochs")
         print(f"Total steps: {total_steps}")
 
-    occ_grid = init_occupancy(settings)
+    occ_grid = occ_restored
 
     if settings.shard_hash_table:
         psh, oshard = table_shardings(mesh, params, tx)
@@ -640,6 +653,9 @@ def train(
 
     def save_async(path: Path, epoch_num: int) -> None:
         snap_p, snap_o = _save_snapshot()
+        # the occupancy grid is donated into the next step like params;
+        # snapshot it on device too (replicated — cheap copy)
+        snap_g = (occ_grid + 0) if settings.use_occupancy else None
         if not is_lead:
             return
 
@@ -647,7 +663,8 @@ def train(
             # Write to a temp name and rename: if the process dies mid-write
             # the final path never holds a truncated checkpoint.
             tmp = path.with_name(path.name + ".tmp")
-            ckpt.save_train_state(tmp, cfg, snap_p, snap_o, epoch_num)
+            ckpt.save_train_state(tmp, cfg, snap_p, snap_o, epoch_num,
+                                  occ_grid=snap_g)
             os.replace(tmp, path)
             print(f"Saved checkpoint to {path}")
 
@@ -715,8 +732,10 @@ def train(
 
     final_path = checkpoint_dir / "nerf_final.pth"
     snap_p, snap_o = _save_snapshot()  # collective in multi-host runs
+    snap_g = (occ_grid + 0) if settings.use_occupancy else None
     if is_lead:
-        ckpt.save_train_state(final_path, cfg, snap_p, snap_o, num_epochs)
+        ckpt.save_train_state(final_path, cfg, snap_p, snap_o, num_epochs,
+                              occ_grid=snap_g)
     total_time = time.time() - start_time
     if is_lead:
         print(f"Saved final models to {final_path}")

@@ -515,3 +515,44 @@ def test_make_mesh_shape_validation():
 
     with _pytest.raises(ValueError, match="devices"):
         make_mesh(shape=(3, 4))  # 12 != 8 virtual devices
+
+
+def test_occ_grid_checkpointed_and_restored_on_resume(tmp_path):
+    """Occupancy runs checkpoint the EMA grid as a side-band record and
+    resume restores it instead of re-warming from all-ones (round-5: resume
+    fidelity — the grid previously restarted fully-occupied)."""
+    from nerfjax import checkpoint as ckpt
+
+    npz = tmp_path / "tiny_ray_data.npz"
+    make_ray_npz(npz, n_rays=1024)
+    cfg = _tiny_cfg(
+        tmp_path, num_epochs=2, batch_size=256,
+        ngp=True, nerf_type="small",
+        occupancy_grid=True, occ_resolution=16, occ_update_every=1,
+        single_pass=True, N_samples=8, N_importance=8,
+    )
+    train(cfg, log_every=1000)
+
+    final = tmp_path / "out/ckpt" / "nerf_final.pth"
+    g = ckpt.load_occ_grid(final)
+    assert g is not None and g.shape == (16**3,) and g.dtype == np.float32
+    # the EMA has decayed away from the all-ones warmup
+    assert not np.allclose(g, 1.0)
+
+    # non-occupancy checkpoints carry no grid record
+    cfg_v = _tiny_cfg(tmp_path, checkpoint_dir=str(tmp_path / "ckpt_v"))
+    train(cfg_v, log_every=1000)
+    assert ckpt.load_occ_grid(tmp_path / "ckpt_v" / "nerf_final.pth") is None
+
+    # resume restores the saved grid (observable: the resumed run's first
+    # checkpoint still carries a decayed grid, not a re-warmed one; an
+    # all-ones restart would need update_every*P steps to decay back)
+    cfg2 = _tiny_cfg(
+        tmp_path, num_epochs=4, batch_size=256,
+        ngp=True, nerf_type="small",
+        occupancy_grid=True, occ_resolution=16, occ_update_every=1,
+        single_pass=True, N_samples=8, N_importance=8,
+    )
+    train(cfg2, resume=True, log_every=1000)
+    g2 = ckpt.load_occ_grid(final)
+    assert g2 is not None and not np.allclose(g2, 1.0)
