@@ -13,32 +13,46 @@ from pathlib import Path
 HERE = Path(__file__).parent
 sys.path.insert(0, str(HERE.parent))
 
+# Default: the round-5 adopted op point's checkpoint (sc sampler; the
+# old round-3 spass12Led2 run dir no longer exists). Override with
+# --ckpt/--extra-dense when the tuned op point moves (e.g. the ed1
+# combo's checkpoint has only 1 promoted dense level).
 CKPT = (
-    HERE / "out" / "parity" / "sphere_s0_spass12Led2_large_b8192"
+    HERE / "out" / "parity" / "sphere_s0_spass12Led2k1f1sc_large_b8192"
     / "checkpoints" / "nerf_final.pth"
 )
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=str(CKPT))
+    ap.add_argument("--levels", type=int, default=12)
+    ap.add_argument("--extra-dense", type=int, default=2)
+    ap.add_argument("--out-tag", default="")
+    args = ap.parse_args()
+
     from nerfjax.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     from nerfjax.config import ConfigNode, with_defaults
     from nerfjax.extract import extract_volume
 
-    assert CKPT.exists(), CKPT
+    ckpt = Path(args.ckpt)
+    assert ckpt.exists(), ckpt
     cfg = with_defaults(
         ConfigNode(
             {
                 "scene_name": "tuned_extract",
                 "ngp": True,
                 "nerf_type": "large",
-                "hash_n_levels": 12,
-                "hash_extra_dense_levels": 2,
+                "hash_n_levels": args.levels,
+                "hash_extra_dense_levels": args.extra_dense,
                 "single_pass": True,
                 "occupancy_grid": True,
                 "hash_grad_corners": 2,
-                "checkpoint": str(CKPT),
+                "checkpoint": str(ckpt),
                 "volume_resolution": 512,
             }
         )
@@ -99,7 +113,7 @@ def main() -> None:
         }
         print(json.dumps({name: eq[name]}), flush=True)
 
-    out = HERE / "out" / "extract_tuned.json"
+    out = HERE / "out" / f"extract_tuned{args.out_tag}.json"
     out.write_text(json.dumps({"rows": results, "equality": eq}, indent=2) + "\n")
 
 
