@@ -41,3 +41,22 @@ def test_real_grass_operating_points():
     assert real.batch_size == 4096 and real.num_epochs == 2 and real.lr == 0.001
     grass = with_defaults(load_config(CFG_DIR / "grass_scene.yml"))
     assert grass.batch_size == 4096 and grass.num_epochs == 1 and grass.lr == 0.0005
+
+
+def test_tuned_operating_point_pins_adopted_knobs():
+    """cfg/blender_scene_tuned.yml IS the adopted round-5b op point
+    (spass12Led1k1f1scns24 — benchmarks/r5b_decision.py ADOPT verdict);
+    any drift of these knobs silently changes the bench headline and the
+    PSNR evidence trail, so pin them."""
+    cfg = with_defaults(load_config(CFG_DIR / "blender_scene_tuned.yml"))
+    assert cfg.batch_size == 8192 and cfg.nerf_type == "large"
+    assert cfg.N_samples == 8 and cfg.N_importance == 16  # ns24
+    assert cfg.hash_n_levels == 12
+    assert cfg.hash_extra_dense_levels == 1  # ed1 (res-122 promotion dropped)
+    assert cfg.hash_grad_corners == 1 and cfg.hash_fwd_corners == 1
+    assert cfg.single_pass and cfg.occupancy_grid
+    assert cfg.occ_fast_cdf and cfg.occ_update_partitions == 4
+
+    s = TrainSettings.from_cfg(cfg, total_steps=100)
+    assert s.n_samples == 8 and s.n_importance == 16
+    assert s.single_pass and s.occ_fast_cdf and s.occ_update_partitions == 4
