@@ -93,19 +93,23 @@ CHIPS_ASSUMED = 8  # one v5e host (the mesh the multichip dryrun validates)
 # Gather-bound roofline (round-4 verdict #6): classic MFU is meaningless for
 # a random-access-bound workload, so report utilization of the measured
 # per-index gather-issue bound instead. achieved = in-step attribution of
-# the pair-packed hash gathers (docs/PERF.md round-3 forward attribution:
-# 18.9M gathers in 137 ms => 7.2 ns/idx); floor band = the isolated
-# microbench issue rate (6.1 ns/idx for 2-wide rows, 8.6 ns/idx for 1-elem
-# rows — benchmarks/micro_probe.py). achieved sits INSIDE the floor band:
-# the hot gather stream runs at ~85-119% of the isolated-microbench issue
+# the pair-packed hash gathers at the CURRENT op point (docs/PERF.md
+# round-5c attribution at ns24: 196,608 pts x 7 hashed levels = 1.376M
+# pair gathers in 10.0 ms => 7.3 ns/idx; the round-3 attribution at the
+# ns48 point measured 7.2 — the stream stays at the roof across op
+# points); floor band = the isolated microbench issue rate (6.1 ns/idx
+# for 2-wide rows, 8.6 ns/idx for 1-elem rows —
+# benchmarks/micro_probe.py). achieved sits INSIDE the floor band: the
+# hot gather stream runs at ~84-118% of the isolated-microbench issue
 # rate, i.e. at the hardware roof.
 BOUND_UTILIZATION = {
-    "achieved_ns_per_idx": 7.2,
+    "achieved_ns_per_idx": 7.3,
     "floor_ns_per_idx_band": [6.1, 8.6],
-    "utilization_band": [round(6.1 / 7.2, 2), round(8.6 / 7.2, 2)],
+    "utilization_band": [round(6.1 / 7.3, 2), round(8.6 / 7.3, 2)],
     "note": "pair-packed hash-gather stream vs isolated gather-issue "
-    "microbench; workload is random-access-issue-bound on v5e (no cache, "
-    "no vector-gather unit) — see docs/PERF.md",
+    "microbench (round-5c attribution at the ns24 op point); workload is "
+    "random-access-issue-bound on v5e (no cache, no vector-gather unit) "
+    "— see docs/PERF.md",
 }
 
 # Most recent CLEAN-SESSION measurements of each op point on the real v5e

@@ -25,9 +25,11 @@ def main() -> None:
                         "full rgb+sigma head (default: density-only fused "
                         "kernel when the sparse fetch is active — identical "
                         "occupancy, zeroed unmarked-cell RGB)")
-    p.add_argument("--coarse-ss", type=int, default=2, choices=[1, 2],
-                   help="coarse-pass subsamples per cell per axis (1 = cell "
-                        "centers only, 8x fewer coarse queries)")
+    p.add_argument("--coarse-ss", type=int, default=None, choices=[1, 2],
+                   help="coarse-pass subsamples per cell per axis (default: "
+                        "1 under the sparse fetch — measured bit-identical "
+                        "to 2 on real checkpoints, ~20%% faster extraction — "
+                        "else 2; pass 2 to force the conservative 2^3 mark)")
     # legacy-extractor extras (reference: scripts/extract_occupancy_volume.py)
     p.add_argument("--density-only", action="store_true",
                    help="store only occupancy (zeroed RGB), like the legacy extractor's density mode")

@@ -105,7 +105,7 @@ def extract_volume(
     hierarchical: bool | None = None,
     sparse_fetch: bool | None = None,
     coarse_density_only: bool | None = None,
-    coarse_supersample: int = 2,
+    coarse_supersample: int | None = None,
 ) -> dict:
     """Full extraction: checkpoint -> dense colored occupancy volume dict.
 
@@ -320,7 +320,7 @@ def _extract_hierarchical(
     cfg, field, fine_params, res, bounds, view, mesh, dtype, verbose,
     sparse_fetch: bool = True,
     coarse_density_only: bool | None = None,
-    coarse_supersample: int = 2,
+    coarse_supersample: int | None = None,
 ) -> dict:
     """Two-level extraction: supersampled coarse pass -> refine marked blocks.
 
@@ -337,14 +337,22 @@ def _extract_hierarchical(
     sparse_fetch the output volume is byte-identical while the coarse pass
     skips the color MLP + SH and the [res2^3, 3] f32 RGB accumulator.
 
-    coarse_supersample: subsamples per coarse cell per axis (2 = the
-    default 2^3-max mark; 1 = cell centers only, 8x fewer coarse queries —
-    a measured-equality lever, see benchmarks/extract_tuned.py).
+    coarse_supersample: subsamples per coarse cell per axis. Default
+    (None) resolves to 1 (cell centers, 8x fewer coarse queries) under
+    sparse_fetch and 2 (2^3-max mark) otherwise: the ss=1 mark was
+    measured bit-identical (occupancy, RGB, threshold) to ss=2 on two
+    real trained checkpoints under the sparse-fetch path while saving
+    12-13.5 s warm at 512^3 (round-5c, benchmarks/extract_tuned.py;
+    adopted by the pre-registered rule in benchmarks/r5_decision.py).
+    The dense-fetch path keeps the conservative 2^3 mark because its
+    unmarked-cell RGB is not masked by the occupancy bitmap.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     B = 4  # fine voxels per coarse cell per axis
     C = res // B
+    if coarse_supersample is None:
+        coarse_supersample = 1 if sparse_fetch else 2
     ss = int(coarse_supersample)
     if ss not in (1, 2):
         raise ValueError(f"coarse_supersample must be 1 or 2, got {ss}")

@@ -180,6 +180,25 @@ def test_coarse_supersample1_close_occupancy(tmp_path):
     assert ss1["metadata"]["coarse_supersample"] == 1
 
 
+def test_coarse_supersample_default_follows_sparse_fetch(tmp_path):
+    """Round-5c adoption (benchmarks/r5_decision.py pre-registered rule):
+    ss=1 is the default under the sparse fetch (measured bit-identical to
+    ss=2 on two real checkpoints, -12/-13.5 s warm at 512^3); the dense
+    fetch keeps the conservative 2^3 mark."""
+    from nerfjax.train import init_params
+
+    cfg = _cfg(tmp_path)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["model"]["table"] = params["model"]["table"] * 2000.0
+
+    kwargs = dict(params=params, resolution=32, hierarchical=True,
+                  verbose=False)
+    sparse = extract_volume(cfg, sparse_fetch=True, **kwargs)
+    dense = extract_volume(cfg, sparse_fetch=False, **kwargs)
+    assert sparse["metadata"]["coarse_supersample"] == 1
+    assert dense["metadata"]["coarse_supersample"] == 2
+
+
 def test_fused_density_matches_fused_head_sigma():
     """fused_ngp_density must produce bit-identical sigma to fused_ngp_head
     (same two f32-accumulated dmlp matmuls) — interpret mode (no TPU)."""

@@ -89,13 +89,15 @@ def test_extract_volume_sparse_vs_dense_fetch(tmp_path):
     params["model"]["table"] = params["model"]["table"] * 2000.0
 
     res = 32
+    # pin the coarse mark (default ss now follows sparse_fetch — round-5c
+    # adoption) so this test compares ONLY the fetch paths
     dense = extract_volume(
         cfg, params=params, resolution=res, hierarchical=True, verbose=False,
-        sparse_fetch=False,
+        sparse_fetch=False, coarse_supersample=2,
     )
     sparse = extract_volume(
         cfg, params=params, resolution=res, hierarchical=True, verbose=False,
-        sparse_fetch=True,
+        sparse_fetch=True, coarse_supersample=2,
     )
     np.testing.assert_array_equal(
         dense["occupancy_volume"], sparse["occupancy_volume"]
