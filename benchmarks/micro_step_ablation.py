@@ -100,6 +100,11 @@ def main():
     p.add_argument("--only-full", action="store_true",
                    help="time only the real train step (skip ablation arms) "
                         "— quick throughput probe of one op point")
+    p.add_argument("--grad-levels", type=int, default=0,
+                   help="hash_grad_levels for the 'full' arm: 0 = scatter "
+                        "all hashed levels' grads; 1..Lh-1 = unbiased "
+                        "per-point level subsampling (scatter volume / "
+                        "(Lh/gl))")
     p.add_argument("--fast-cdf", action="store_true",
                    help="occ_fast_cdf=true (stratified arithmetic inverse-"
                         "CDF sampler) for the 'full' arm")
@@ -135,6 +140,7 @@ def main():
                 "hash_grad_corners": args.sgrad,
                 "hash_fwd_corners": args.fwd,
                 "hash_dense_corners": args.dense_corners,
+                "hash_grad_levels": args.grad_levels,
                 "occ_fast_cdf": bool(args.fast_cdf),
             }
         )

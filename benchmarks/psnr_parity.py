@@ -88,13 +88,21 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     #             levels: pair gathers + k-corner scatter)
     #   "ns<n>" = total single-pass sample count: ns32 = 16+16, ns24 = 8+16
     #             (the base occupancy arms fix 16+32 = 48)
+    #   "gl<n>" = hash_grad_levels=n (unbiased per-point level-subset
+    #             backward: scatter only n of the hashed levels' grads,
+    #             scaled Lh/n — requires a stochastic backward arm)
     # The base arm fixes every other knob.
     fast_cdf = False
     partitions = 1
     fwd_corners = 8
     dense_corners = 8
+    grad_levels = 0
     ns_override = None
     while True:
+        m = re.fullmatch(r"(.+?)gl([1-9][0-9]?)", arm)
+        if m:
+            arm, grad_levels = m.group(1), int(m.group(2))
+            continue
         m = re.fullmatch(r"(.+?)ns(32|24)", arm)
         if m:
             arm = m.group(1)
@@ -177,6 +185,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 ),
                 "hash_fwd_corners": fwd_corners,
                 "hash_dense_corners": dense_corners,
+                "hash_grad_levels": grad_levels,
                 "occ_fast_cdf": fast_cdf,
                 "occ_update_partitions": partitions,
                 "rays_file": str(rays_file),

@@ -71,6 +71,17 @@ class HashGridSpec:
     # gather, at the price of a k-corner scatter backward and per-step
     # encode noise. TRAIN-ONLY like fwd_corners (position-bit draws).
     dense_corners: int = 8
+    # Hash-level backward LEVEL subsampling: 0 = scatter every hashed
+    # level's gradient (default); 1..Lh-1 = scatter only that many iid
+    # uniformly drawn levels per point, scaled Lh/gl (UNBIASED; position-
+    # bit draws, independently salted from the corner draws). Composes
+    # with grad_corners/fwd_corners: backward scatter volume shrinks by a
+    # further Lh/gl on top of the 8/k corner cut — the k=1 scatter is 31%
+    # of the tuned v5e step (docs/PERF.md round-5c attribution). Only the
+    # STOCHASTIC backward paths honor it (grad_corners < 8 or
+    # fwd_corners < 8); train.build_fields rejects it with the exact
+    # backward. TRAIN-ONLY like the other estimators (per-step jitter).
+    grad_levels: int = 0
     # Promote the first E would-be-hashed levels to DENSE storage (their
     # full res^3 table instead of 2^log2 hashed slots). Model change
     # (opt-in, grows the table): the promoted level loses hash collisions
@@ -248,6 +259,7 @@ class InstantNGP:
     grad_corners: int = 8  # see HashGridSpec.grad_corners
     fwd_corners: int = 8  # see HashGridSpec.fwd_corners (train-only)
     dense_corners: int = 8  # see HashGridSpec.dense_corners (train-only)
+    grad_levels: int = 0  # see HashGridSpec.grad_levels (train-only)
     extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
     def __post_init__(self):
@@ -270,6 +282,7 @@ class InstantNGP:
             grad_corners=self.grad_corners,
             fwd_corners=self.fwd_corners,
             dense_corners=self.dense_corners,
+            grad_levels=self.grad_levels,
             extra_dense_levels=self.extra_dense_levels,
         )
 

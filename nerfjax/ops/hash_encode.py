@@ -189,6 +189,58 @@ def _select_drawn_indices(idx3: jnp.ndarray, draws: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(out)
 
 
+# salt for the level-subset draw family (grad_levels): decorrelates the
+# per-point level draws from the corner draws at the same position
+_LEVEL_SALT = 0x85EBCA6B
+
+
+def _draw_levels(x, y, z, Lh: int, g: int, salt: int) -> jnp.ndarray:
+    """g iid uniform level draws per point -> [g, N] int32 in 0..Lh-1.
+
+    Same position-bit randomness scheme as _draw_corners (deterministic
+    per position; per-step sample jitter decorrelates across steps)."""
+    bx = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    by = jax.lax.bitcast_convert_type(y, jnp.uint32)
+    bz = jax.lax.bitcast_convert_type(z, jnp.uint32)
+    seed = (
+        bx * np.uint32(0x9E3779B1)
+        ^ by * np.uint32(0x85EBCA77)
+        ^ bz * np.uint32(0xC2B2AE3D)
+    ) ^ np.uint32(salt & 0xFFFFFFFF)  # [N]
+    ids = []
+    for j in range(g):
+        h = seed + np.uint32((j * 0x7F4A7C15) & 0xFFFFFFFF)
+        h = (h ^ (h >> 15)) * np.uint32(0x2C1B3C6D)
+        h = h ^ (h >> 12)
+        u = (h >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+        ids.append(jnp.minimum((u * Lh).astype(jnp.int32), Lh - 1))
+    return jnp.stack(ids)  # [g, N]
+
+
+def _level_subsample(sel, coef, g, x, y, z, Lh: int, gl: int):
+    """Unbiased level-subset backward: keep gl iid level draws per point.
+
+    sel/coef: the [b, Lh, N] corner plan; g: [2, Lh, N] upstream grads.
+    Each point scatters only gl of its Lh per-level contributions, scaled
+    Lh/gl — E[estimate] = the full per-level sum (uniform iid draws), so
+    composing with the (independent, differently salted) corner draws
+    stays an unbiased estimate of the exact trilinear table gradient.
+    Returns flattened (sel, gv0, gv1) with b*gl*N entries instead of
+    b*Lh*N — the scatter volume, the dominant backward cost on v5e
+    (docs/PERF.md round-5c attribution), shrinks by Lh/gl. The level
+    select itself is a one-hot multiply-sum (VPU streaming, no gather).
+    """
+    ids = _draw_levels(x, y, z, Lh, gl, _LEVEL_SALT)  # [gl, N]
+    lane = jnp.arange(Lh, dtype=jnp.int32)[None, :, None]  # [1, Lh, 1]
+    lhot_i = (lane == ids[:, None, :]).astype(jnp.int32)  # [gl, Lh, N]
+    lhot_f = lhot_i.astype(jnp.float32)
+    scale = np.float32(Lh / gl)
+    sel_s = jnp.sum(sel[:, None] * lhot_i[None], axis=2)  # [b, gl, N]
+    gv0 = jnp.sum((g[0][None] * coef)[:, None] * lhot_f[None], axis=2) * scale
+    gv1 = jnp.sum((g[1][None] * coef)[:, None] * lhot_f[None], axis=2) * scale
+    return sel_s.reshape(-1), gv0.reshape(-1), gv1.reshape(-1)
+
+
 def _stochastic_corner_plan(hashed, x, y, z, idx3, k: int, *, clamp=False, salt=0):
     """(sel [k,Lh,N] int32, coef [k,Lh,N] f32): an unbiased k-gather plan.
 
@@ -301,9 +353,13 @@ def _hash_levels_bwd(spec, res, g):
         b = min(k, fwd)
         idx3 = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
         sel, coef = _stochastic_corner_plan(hashed, x, y, z, idx3, b)
-        sel = sel.reshape(-1)
-        gv0 = (g[0][None] * coef).reshape(-1)
-        gv1 = (g[1][None] * coef).reshape(-1)
+        gl = int(getattr(spec, "grad_levels", 0))
+        if 0 < gl < Lh:
+            sel, gv0, gv1 = _level_subsample(sel, coef, g, x, y, z, Lh, gl)
+        else:
+            sel = sel.reshape(-1)
+            gv0 = (g[0][None] * coef).reshape(-1)
+            gv1 = (g[1][None] * coef).reshape(-1)
         grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
         grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
         return jnp.stack([grad0, grad1]), None, None, None
@@ -338,9 +394,13 @@ def _hash_levels_bwd(spec, res, g):
     # VJP at all.
     idx = _hash_level_indices(spec, hashed, x, y, z).reshape(Lh, 8, N)
     sel, coef = _stochastic_corner_plan(hashed, x, y, z, idx, k)
-    sel = sel.reshape(-1)  # [k*Lh*N]
-    gv0 = (g[0][None] * coef).reshape(-1)
-    gv1 = (g[1][None] * coef).reshape(-1)
+    gl = int(getattr(spec, "grad_levels", 0))
+    if 0 < gl < Lh:
+        sel, gv0, gv1 = _level_subsample(sel, coef, g, x, y, z, Lh, gl)
+    else:
+        sel = sel.reshape(-1)  # [k*Lh*N]
+        gv0 = (g[0][None] * coef).reshape(-1)
+        gv1 = (g[1][None] * coef).reshape(-1)
     grad0 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv0, mode="drop")
     grad1 = jnp.zeros((T_hash,), jnp.float32).at[sel].add(gv1, mode="drop")
     return jnp.stack([grad0, grad1]), None, None, None

@@ -71,14 +71,25 @@ def build_fields(cfg: ConfigNode, train: bool = False):
             raise ValueError(
                 f"hash_dense_corners must be in 1..8, got {dense_corners}"
             )
+        grad_levels = int(cfg.get("hash_grad_levels", 0)) if train else 0
+        if grad_levels < 0:
+            raise ValueError(f"hash_grad_levels must be >= 0, got {grad_levels}")
+        grad_corners_cfg = int(cfg.get("hash_grad_corners", 8))
+        if grad_levels > 0 and grad_corners_cfg >= 8 and fwd_corners >= 8:
+            raise ValueError(
+                "hash_grad_levels requires a stochastic backward path "
+                "(hash_grad_corners < 8 or hash_fwd_corners < 8); the exact "
+                "8-corner backward ignores level subsampling"
+            )
         n_levels = int(cfg.get("hash_n_levels", 16))
         if n_levels < 1:
             raise ValueError(f"hash_n_levels must be >= 1, got {n_levels}")
         field = InstantNGP(
             nerf_type=cfg.get("nerf_type", "large"),
-            grad_corners=int(cfg.get("hash_grad_corners", 8)),
+            grad_corners=grad_corners_cfg,
             fwd_corners=fwd_corners,
             dense_corners=dense_corners,
+            grad_levels=grad_levels,
             # Tuned op point (Parity+): fewer levels drop the finest hash
             # grids (16 levels reach res ~7000^3 — far beyond the 512^3
             # volume this pipeline ever extracts) and shrink the gather/

@@ -503,3 +503,80 @@ def test_dense_corners_flows_from_cfg_train_only():
                                     "hash_dense_corners": 9}))
     with pytest.raises(ValueError):
         build_fields(bad, train=True)
+
+
+def test_grad_levels_subsample_unbiased():
+    """hash_grad_levels=gl scatters only gl iid-drawn levels per point,
+    scaled Lh/gl. Checks: (a) support subset of the k-corner plan's exact
+    gradient, (b) total mass preserved in expectation (law of large
+    numbers over 20k points), (c) per-entry statistical agreement with
+    the exact gradient."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfjax.fields.ngp import HashGridSpec
+    from nerfjax.ops.hash_encode import hash_encode_planar
+
+    spec8 = HashGridSpec(n_levels=6, log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=2.0, grad_corners=8)
+    spec_gl = dataclasses.replace(spec8, grad_corners=1, grad_levels=2)
+
+    rng = np.random.default_rng(1)
+    N = 20000
+    x = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    planes = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (2, spec8.total_table_size)).astype(np.float32)
+    )
+
+    def loss(spec):
+        def f(p):
+            enc = hash_encode_planar(spec, p, x, y, z, dtype=jnp.float32)
+            return jnp.sum(enc * 0.001)
+        return jax.grad(f)(planes)
+
+    g_exact = np.asarray(loss(spec8))
+    g_sub = np.asarray(loss(spec_gl))
+    # (a) support subset of the exact gradient's
+    assert np.all((g_sub != 0) <= (g_exact != 0))
+    # (b) mass preserved in expectation (Lh/gl scaling); ~N/Lh draws per
+    # level -> few-percent statistical tolerance
+    np.testing.assert_allclose(
+        g_sub.sum(axis=1), g_exact.sum(axis=1), rtol=0.08
+    )
+    # (c) per-entry statistical agreement
+    mask = g_exact[0] != 0
+    corr = np.corrcoef(g_sub[0][mask], g_exact[0][mask])[0, 1]
+    assert corr > 0.5, corr
+    # the hashed-level count here is 6 minus dense-capable levels; gl >= Lh
+    # must be a no-op (identical to the gl=0 plan at the same corners)
+    spec_k1 = dataclasses.replace(spec8, grad_corners=1)
+    spec_big = dataclasses.replace(spec_k1, grad_levels=99)
+    np.testing.assert_array_equal(np.asarray(loss(spec_big)),
+                                  np.asarray(loss(spec_k1)))
+
+
+def test_grad_levels_flows_from_cfg_train_only():
+    import pytest
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import build_fields
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_grad_corners": 1,
+                                    "hash_grad_levels": 3}))
+    fc, _, _ = build_fields(cfg, train=True)
+    assert fc.spec.grad_levels == 3
+    # eval/extract constructors never see the knob
+    fc_eval, _, _ = build_fields(cfg, train=False)
+    assert fc_eval.spec.grad_levels == 0
+    # the exact 8-corner backward ignores level subsampling -> loud error
+    bad = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_grad_levels": 3}))
+    with pytest.raises(ValueError, match="stochastic backward"):
+        build_fields(bad, train=True)
