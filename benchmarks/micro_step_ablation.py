@@ -105,6 +105,11 @@ def main():
                         "all hashed levels' grads; 1..Lh-1 = unbiased "
                         "per-point level subsampling (scatter volume / "
                         "(Lh/gl))")
+    p.add_argument("--dense-grad-levels", type=int, default=0,
+                   help="hash_dense_grad_levels for the 'full' arm: 0 = "
+                        "scatter all dense levels' row grads; 1..Ld-1 = "
+                        "unbiased per-point level subsampling of the dense "
+                        "backward (exact forward)")
     p.add_argument("--fast-cdf", action="store_true",
                    help="occ_fast_cdf=true (stratified arithmetic inverse-"
                         "CDF sampler) for the 'full' arm")
@@ -141,6 +146,7 @@ def main():
                 "hash_fwd_corners": args.fwd,
                 "hash_dense_corners": args.dense_corners,
                 "hash_grad_levels": args.grad_levels,
+                "hash_dense_grad_levels": args.dense_grad_levels,
                 "occ_fast_cdf": bool(args.fast_cdf),
             }
         )

@@ -91,14 +91,22 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     #   "gl<n>" = hash_grad_levels=n (unbiased per-point level-subset
     #             backward: scatter only n of the hashed levels' grads,
     #             scaled Lh/n — requires a stochastic backward arm)
+    #   "gd<n>" = hash_dense_grad_levels=n (unbiased per-point level-subset
+    #             DENSE backward: exact forward, scatter only n of the
+    #             dense levels' row grads, scaled Ld/n)
     # The base arm fixes every other knob.
     fast_cdf = False
     partitions = 1
     fwd_corners = 8
     dense_corners = 8
     grad_levels = 0
+    dense_grad_levels = 0
     ns_override = None
     while True:
+        m = re.fullmatch(r"(.+?)gd([1-9][0-9]?)", arm)
+        if m:
+            arm, dense_grad_levels = m.group(1), int(m.group(2))
+            continue
         m = re.fullmatch(r"(.+?)gl([1-9][0-9]?)", arm)
         if m:
             arm, grad_levels = m.group(1), int(m.group(2))
@@ -186,6 +194,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "hash_fwd_corners": fwd_corners,
                 "hash_dense_corners": dense_corners,
                 "hash_grad_levels": grad_levels,
+                "hash_dense_grad_levels": dense_grad_levels,
                 "occ_fast_cdf": fast_cdf,
                 "occ_update_partitions": partitions,
                 "rays_file": str(rays_file),
@@ -320,7 +329,23 @@ def main() -> None:
                             "spass12Led2k1f1scdc1",
                             # round-5 dense-diet + sample-count probes
                             "spass12Led1k1f1sc", "spass12Led2k1f1scns32",
-                            "spass12Led1k1f1scns32", "spass12Led1k1f1scns24"],
+                            "spass12Led1k1f1scns32", "spass12Led1k1f1scns24",
+                            # round-5d level-subset backward probes (gl<n> =
+                            # hash_grad_levels=n)
+                            "spass12Led1k1f1scns24gl4",
+                            "spass12Led1k1f1scns24gl3",
+                            "spass12Led1k1f1scns24gl2",
+                            # round-5e DENSE level-subset backward probes
+                            # (gd<n> = hash_dense_grad_levels=n), on either
+                            # r5d outcome base
+                            "spass12Led1k1f1scns24gd2",
+                            "spass12Led1k1f1scns24gd1",
+                            "spass12Led1k1f1scns24gl4gd2",
+                            "spass12Led1k1f1scns24gl4gd1",
+                            "spass12Led1k1f1scns24gl3gd2",
+                            "spass12Led1k1f1scns24gl3gd1",
+                            "spass12Led1k1f1scns24gl2gd2",
+                            "spass12Led1k1f1scns24gl2gd1"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")

@@ -82,6 +82,17 @@ class HashGridSpec:
     # fwd_corners < 8); train.build_fields rejects it with the exact
     # backward. TRAIN-ONLY like the other estimators (per-step jitter).
     grad_levels: int = 0
+    # Dense-level backward LEVEL subsampling: 0 = scatter every dense
+    # level's row gradient (default); 1..Ld-1 = scatter only that many iid
+    # uniformly drawn dense levels per point, scaled Ld/gd (UNBIASED; the
+    # forward stays the EXACT cell-row encode — no activation noise; the
+    # trilinear weights inside a drawn level stay exact). The dense-row
+    # scatter is 19% of the tuned v5e step (docs/PERF.md round-5c
+    # attribution) and prices per index, so the dense backward shrinks by
+    # ~Ld/gd. Independent of the hash-level estimators; incompatible with
+    # dense_corners < 8 (that path owns its backward — train.build_fields
+    # rejects the combination). TRAIN-ONLY (position-bit draws).
+    dense_grad_levels: int = 0
     # Promote the first E would-be-hashed levels to DENSE storage (their
     # full res^3 table instead of 2^log2 hashed slots). Model change
     # (opt-in, grows the table): the promoted level loses hash collisions
@@ -260,6 +271,7 @@ class InstantNGP:
     fwd_corners: int = 8  # see HashGridSpec.fwd_corners (train-only)
     dense_corners: int = 8  # see HashGridSpec.dense_corners (train-only)
     grad_levels: int = 0  # see HashGridSpec.grad_levels (train-only)
+    dense_grad_levels: int = 0  # see HashGridSpec.dense_grad_levels (train-only)
     extra_dense_levels: int = 0  # see HashGridSpec.extra_dense_levels
 
     def __post_init__(self):
@@ -283,6 +295,7 @@ class InstantNGP:
             fwd_corners=self.fwd_corners,
             dense_corners=self.dense_corners,
             grad_levels=self.grad_levels,
+            dense_grad_levels=self.dense_grad_levels,
             extra_dense_levels=self.extra_dense_levels,
         )
 

@@ -531,6 +531,129 @@ def _dense_levels_encode(
 
 
 # ---------------------------------------------------------------------------
+# Dense levels, level-subset backward (train-only): exact forward, gd-level
+# stochastic scatter
+# ---------------------------------------------------------------------------
+
+# salt for the dense LEVEL-subset draws: decorrelates from both the hash
+# level-subset draws (_LEVEL_SALT) and the dense corner draws (_DENSE_SALT)
+_DENSE_GL_SALT = 0x27D4EB2F
+
+
+def _dense_row_indices(dense: list[dict], x, y, z):
+    """([Ld, N] int32 rows into the CONCATENATED cell-row table, row counts).
+
+    Row index for level l: bx + by*(r-1) + bz*(r-1)^2 + sum_{m<l}(r_m-1)^3,
+    with the base cell clamped to [0, r-2] — the same clamp semantics as
+    _dense_levels_encode, so these rows address exactly the rows its
+    forward gathered."""
+    scales = jnp.asarray([lp["scale"] for lp in dense], jnp.float32)[:, None]
+    rs = jnp.asarray([lp["res"] for lp in dense], jnp.int32)[:, None]
+    counts = [(lp["res"] - 1) ** 3 for lp in dense]
+    coffs = jnp.asarray(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), jnp.int32
+    )[:, None]
+
+    px = x[None, :] * scales + 0.5  # [Ld, N]
+    py = y[None, :] * scales + 0.5
+    pz = z[None, :] * scales + 0.5
+    rmax = (rs - 2).astype(jnp.float32)
+    bx = jnp.clip(jnp.floor(px), 0, rmax).astype(jnp.int32)
+    by = jnp.clip(jnp.floor(py), 0, rmax).astype(jnp.int32)
+    bz = jnp.clip(jnp.floor(pz), 0, rmax).astype(jnp.int32)
+    rows = bx + by * (rs - 1) + bz * (rs - 1) * (rs - 1) + coffs  # [Ld, N]
+    return rows, counts
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 5))
+def _dense_levels_encode_glv(spec: HashGridSpec, dense_planes, x, y, z, dtype):
+    """Dense encode with a level-subset BACKWARD: -> [2, Ld, N].
+
+    Forward: bit-identical to the exact path (_dense_levels_encode) — no
+    estimator noise on activations. Backward: each point scatters the row
+    gradients of only gd = spec.dense_grad_levels iid uniformly drawn dense
+    levels, scaled Ld/gd (UNBIASED for the exact dense-table gradient; the
+    trilinear weights inside a drawn level stay exact). The dense-row
+    scatter is 11.6 ms of the tuned 62 ms v5e step at Ld*N = 983k rows
+    (docs/PERF.md round-5c attribution) and prices per INDEX, so the
+    backward cost shrinks by ~Ld/gd. TRAIN-ONLY (position-bit draws need
+    per-step sample jitter); only train.build_fields sets
+    dense_grad_levels > 0, and it rejects combining with dense_corners < 8
+    (the stochastic dense path has its own backward).
+
+    dense_planes: [2, T_dense] f32 prefix of the plane table covering the
+    dense levels (dense levels are a prefix: _split_levels asserts it).
+    """
+    out, _ = _dense_glv_fwd(spec, dense_planes, x, y, z, dtype)
+    return out
+
+
+def _dense_glv_fwd(spec, dense_planes, x, y, z, dtype):
+    dense, _ = _split_levels(spec)
+    e0, e1 = _dense_levels_encode(spec, dense, dense_planes, x, y, z, dtype)
+    return jnp.stack([e0, e1]), (x, y, z)
+
+
+def _dense_glv_bwd(spec, dtype, res, g):
+    x, y, z = res
+    dense, _ = _split_levels(spec)
+    Ld = len(dense)
+    N = x.shape[0]
+    gd = int(getattr(spec, "dense_grad_levels", 0))
+
+    rows, counts = _dense_row_indices(dense, x, y, z)  # [Ld, N]
+    w = _corner_weights(dense, x, y, z, clamp=True).reshape(Ld, 8, N)
+    ids = _draw_levels(x, y, z, Ld, gd, _DENSE_GL_SALT)  # [gd, N]
+    lane = jnp.arange(Ld, dtype=jnp.int32)[None, :, None]  # [1, Ld, 1]
+    lhot_i = (lane == ids[:, None, :]).astype(jnp.int32)  # [gd, Ld, N]
+    lhot_f = lhot_i.astype(jnp.float32)
+
+    sel = jnp.sum(rows[None] * lhot_i, axis=1)  # [gd, N]
+    wsel = jnp.sum(w[None] * lhot_f[:, :, None, :], axis=1)  # [gd, 8, N]
+    g32 = g.astype(jnp.float32)  # [2, Ld, N]
+    g0 = jnp.sum(g32[0][None] * lhot_f, axis=1)  # [gd, N]
+    g1 = jnp.sum(g32[1][None] * lhot_f, axis=1)
+    scale = np.float32(Ld / gd)
+
+    # row gradient, slot layout s = corner*2 + plane (as _dense_cell_rows)
+    parts = []
+    for c in range(8):
+        parts.append(wsel[:, c, :] * g0 * scale)
+        parts.append(wsel[:, c, :] * g1 * scale)
+    grow = jnp.stack(parts, axis=-1)  # [gd, N, 16]
+
+    C_total = sum(counts)
+    tbl = jnp.zeros((C_total, 16), jnp.float32).at[sel.reshape(-1)].add(
+        grow.reshape(-1, 16), mode="drop"
+    )
+
+    # adjoint of _dense_cell_rows per level: 8 shifted-slice adds back into
+    # the [2, r, r, r] grid — pure streaming, no scatter
+    grads = []
+    coff = 0
+    for lp, C in zip(dense, counts):
+        r = lp["res"]
+        rows_l = tbl[coff : coff + C].reshape(r - 1, r - 1, r - 1, 16)
+        coff += C
+        grid = jnp.zeros((2, r, r, r), jnp.float32)
+        for c, (dx, dy, dz) in enumerate(_CORNERS):
+            grid = grid.at[0, dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1].add(
+                rows_l[..., 2 * c]
+            )
+            grid = grid.at[1, dz : dz + r - 1, dy : dy + r - 1, dx : dx + r - 1].add(
+                rows_l[..., 2 * c + 1]
+            )
+        pl = grid.reshape(2, r * r * r)
+        if lp["size"] != r * r * r:  # tcnn 8-entry alignment padding
+            pl = jnp.pad(pl, ((0, 0), (0, lp["size"] - r * r * r)))
+        grads.append(pl)
+    return (jnp.concatenate(grads, axis=1), None, None, None)
+
+
+_dense_levels_encode_glv.defvjp(_dense_glv_fwd, _dense_glv_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Dense levels, stochastic (train-only): 1-corner dithered trilinear
 # ---------------------------------------------------------------------------
 
@@ -648,9 +771,15 @@ def hash_encode_planar(
       twin of fields.ngp.hashgrid_encode's [N, L*F] output.
     """
     dense, hashed = _split_levels(spec)
+    dgl = int(getattr(spec, "dense_grad_levels", 0))
     if int(getattr(spec, "dense_corners", 8)) < 8 and dense:
         T_dense = sum(lp["size"] for lp in dense)
         ed = _dense_levels_encode_stoch(spec, planes[:, :T_dense], x, y, z)
+        e0d, e1d = ed[0], ed[1]
+    elif 0 < dgl < len(dense):
+        # exact forward, gd-level subsampled backward (train-only)
+        T_dense = sum(lp["size"] for lp in dense)
+        ed = _dense_levels_encode_glv(spec, planes[:, :T_dense], x, y, z, dtype)
         e0d, e1d = ed[0], ed[1]
     else:
         e0d, e1d = _dense_levels_encode(spec, dense, planes, x, y, z, dtype)

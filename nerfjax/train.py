@@ -81,6 +81,19 @@ def build_fields(cfg: ConfigNode, train: bool = False):
                 "(hash_grad_corners < 8 or hash_fwd_corners < 8); the exact "
                 "8-corner backward ignores level subsampling"
             )
+        dense_grad_levels = (
+            int(cfg.get("hash_dense_grad_levels", 0)) if train else 0
+        )
+        if dense_grad_levels < 0:
+            raise ValueError(
+                f"hash_dense_grad_levels must be >= 0, got {dense_grad_levels}"
+            )
+        if dense_grad_levels > 0 and dense_corners < 8:
+            raise ValueError(
+                "hash_dense_grad_levels requires the exact dense forward "
+                "(hash_dense_corners=8); the stochastic dense path owns its "
+                "own backward"
+            )
         n_levels = int(cfg.get("hash_n_levels", 16))
         if n_levels < 1:
             raise ValueError(f"hash_n_levels must be >= 1, got {n_levels}")
@@ -90,6 +103,7 @@ def build_fields(cfg: ConfigNode, train: bool = False):
             fwd_corners=fwd_corners,
             dense_corners=dense_corners,
             grad_levels=grad_levels,
+            dense_grad_levels=dense_grad_levels,
             # Tuned op point (Parity+): fewer levels drop the finest hash
             # grids (16 levels reach res ~7000^3 — far beyond the 512^3
             # volume this pipeline ever extracts) and shrink the gather/

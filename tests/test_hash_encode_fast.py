@@ -580,3 +580,88 @@ def test_grad_levels_flows_from_cfg_train_only():
                                     "hash_grad_levels": 3}))
     with pytest.raises(ValueError, match="stochastic backward"):
         build_fields(bad, train=True)
+
+
+def test_dense_grad_levels_subsample_unbiased():
+    """hash_dense_grad_levels=gd: exact forward, but each point scatters
+    only gd iid-drawn dense levels' row gradients, scaled Ld/gd. Checks:
+    (a) the forward is BIT-IDENTICAL to the exact path (no activation
+    noise), (b) gradient support is a subset of the exact gradient's,
+    (c) total mass preserved in expectation, (d) per-entry statistical
+    agreement, (e) gd >= Ld (and gd = 0) fall back to the exact path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfjax.fields.ngp import HashGridSpec
+    from nerfjax.ops.hash_encode import hash_encode_planar
+
+    # base_res 4, scale 2 -> levels 4,7,13,25 dense (<= 2^15), rest hashed
+    spec8 = HashGridSpec(n_levels=6, log2_hashmap_size=15, base_resolution=4,
+                         per_level_scale=2.0)
+    spec_gd = dataclasses.replace(spec8, dense_grad_levels=2)
+
+    rng = np.random.default_rng(2)
+    N = 20000
+    x = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    y = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0.01, 0.99, N).astype(np.float32))
+    planes = jnp.asarray(
+        rng.uniform(-1e-2, 1e-2, (2, spec8.total_table_size)).astype(np.float32)
+    )
+
+    # (a) forward bit-identical to the exact path
+    enc_exact = hash_encode_planar(spec8, planes, x, y, z, dtype=jnp.float32)
+    enc_gd = hash_encode_planar(spec_gd, planes, x, y, z, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(enc_exact), np.asarray(enc_gd))
+
+    def loss(spec):
+        def f(p):
+            enc = hash_encode_planar(spec, p, x, y, z, dtype=jnp.float32)
+            return jnp.sum(enc * 0.001)
+        return jax.grad(f)(planes)
+
+    g_exact = np.asarray(loss(spec8))
+    g_sub = np.asarray(loss(spec_gd))
+    dense = [lp for lp in spec8.level_params() if not lp["use_hash"]]
+    T_dense = sum(lp["size"] for lp in dense)
+    # hashed-level grads are untouched by the dense subsampling
+    np.testing.assert_array_equal(g_sub[:, T_dense:], g_exact[:, T_dense:])
+    # (b) dense support subset of the exact gradient's
+    d_sub, d_exact = g_sub[:, :T_dense], g_exact[:, :T_dense]
+    assert np.all((d_sub != 0) <= (d_exact != 0))
+    # (c) mass preserved in expectation (Ld/gd scaling); ~N*gd/Ld draws per
+    # level -> few-percent statistical tolerance
+    np.testing.assert_allclose(d_sub.sum(axis=1), d_exact.sum(axis=1),
+                               rtol=0.08)
+    # (d) per-entry statistical agreement
+    mask = d_exact[0] != 0
+    corr = np.corrcoef(d_sub[0][mask], d_exact[0][mask])[0, 1]
+    assert corr > 0.5, corr
+    # (e) gd >= Ld and gd = 0 are exact
+    spec_big = dataclasses.replace(spec8, dense_grad_levels=99)
+    np.testing.assert_array_equal(np.asarray(loss(spec_big)), g_exact)
+
+
+def test_dense_grad_levels_flows_from_cfg_train_only():
+    import pytest
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.train import build_fields
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_dense_grad_levels": 2}))
+    fc, _, _ = build_fields(cfg, train=True)
+    assert fc.spec.dense_grad_levels == 2
+    # eval/extract constructors never see the knob
+    fc_eval, _, _ = build_fields(cfg, train=False)
+    assert fc_eval.spec.dense_grad_levels == 0
+    # the stochastic dense path owns its backward -> loud error combined
+    bad = with_defaults(ConfigNode({"scene_name": "s", "ngp": True,
+                                    "nerf_type": "small",
+                                    "hash_dense_corners": 1,
+                                    "hash_dense_grad_levels": 2}))
+    with pytest.raises(ValueError, match="exact dense forward"):
+        build_fields(bad, train=True)
