@@ -5,12 +5,15 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12Led1_single_pass24_sgrad1_fwd1_sc`: the round-5b
+  * headline `tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2`: the round-5d
     tuned op point (cfg/blender_scene_tuned.yml) — single-pass occupancy
     sampling at 24 samples/ray (8+16, all drawn from the occupancy-grid
     CDF, no coarse network pass — instant-ngp's actual design) + unbiased
     stochastic corner gradients (hash_grad_corners=1) + stochastic
     1-corner dithered-trilinear FORWARD (hash_fwd_corners=1, train-only)
+    + unbiased level-subset hash BACKWARD (hash_grad_levels=2: each point
+    scatters only 2 of the 7 hashed levels' grads, scaled 7/2 —
+    r5d_decision.py ADOPT, +26.8% same-session at 3-seed in-spread PSNR)
     + 12 hash levels (drops the 4 finest levels, whose res 1846-6231
     exceeds any 512^3 extraction) + stratified arithmetic inverse-CDF
     sampling (occ_fast_cdf; r4b_decision.py ADOPT) + rotating 1/4
@@ -19,12 +22,12 @@ JSON line — they are different quantities and must not be conflated
     collision-free as cell-rows: 1 width-16 gather replaces 8 width-1
     gathers, backward scatter-free; the round-3 res-122 promotion was
     dropped — under the f1 forward it measured -20 ms). PSNR evidence at
-    this exact NGP-large/8192 shape across 3 seeds: the ns24 arm
-    (spass12Led1k1f1scns24) means 32.76 dB vs the sc baseline's
-    in-spread floor 32.14, with every intermediate lever (ed1 33.82,
-    ns32 33.87, combo 33.77) also in-spread — all adopted by the
-    pre-registered rule in benchmarks/r5b_decision.py (+116%
-    same-session throughput for ns24 over the sc control).
+    this exact NGP-large/8192 shape across 3 seeds: the gl2 arm
+    (spass12Led1k1f1scns24gl2) means 32.64 dB vs the ns24 baseline's
+    in-spread floor 32.15; the ns24 arm itself means 32.76 vs the sc
+    floor 32.14, with every intermediate lever (ed1 33.82, ns32 33.87,
+    combo 33.77) also in-spread — adopted by the pre-registered rules in
+    benchmarks/r5b_decision.py and r5d_decision.py.
     A ray here costs far less field work than the reference's 256-sample
     ray, so rays/s is NOT comparable 1:1 with the drop-in number below.
   * `round2_comparable` `single_pass48_sgrad2`: the same sampling at the
@@ -50,8 +53,8 @@ Baseline: the reference publishes no numbers (BASELINE.md). Two anchors:
     zero torch/Python overhead); the realistic estimate from the
     launch-overhead decomposition in BASELINE.md is 70-130k rays/s.
     North-star status (stated plainly): the drop-in point is ~0.05-0.1x
-    of the realistic reference-GPU estimate on one v5e chip; the round-5b
-    tuned point (131.6k rays/s/chip) x 8 chips is ~8.1-15.0x of it on raw
+    of the realistic reference-GPU estimate on one v5e chip; the round-5d
+    tuned point (167.3k rays/s/chip) x 8 chips is ~10.3-19.1x of it on raw
     throughput (carried as `vs_ref_band` in the JSON) — >=5x across the
     ENTIRE realistic band — and also >=5x under PSNR-per-wall-clock
     (docs/PERF.md) since the tuned point reaches equal-or-better PSNR
@@ -119,7 +122,7 @@ BOUND_UTILIZATION = {
 # measurement windows; a dead tunnel at bench time should not erase the
 # round's real numbers from the artifact.
 LAST_MEASURED = {
-    "tuned12Led1_single_pass24_sgrad1_fwd1_sc": 131639.0,
+    "tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2": 167310.0,
     "single_pass48_sgrad2": 11336.5,
     "drop_in_64_192_exact": 1045.2,
     "note": "previous clean-session v5e-1 measurement (docs/PERF.md); "
@@ -234,7 +237,7 @@ def _payload(error: str | None = None) -> str:
     return json.dumps(
         {
             **_rec(
-                "train_rays_per_sec_per_chip_ngp_large_tuned12Led1_single_pass24_sgrad1_fwd1_sc",
+                "train_rays_per_sec_per_chip_ngp_large_tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2",
                 _STATE["tuned"], error,
             ),
             **_vs_ref_band(_STATE["tuned"]),
@@ -329,12 +332,13 @@ def main() -> None:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
 
-    # headline: the round-5b TUNED op point — single-pass 24 samples
-    # (8+16), stochastic k=1 grads, stochastic 1-corner forward, 12 hash
-    # levels, 1 promoted dense level, fast-CDF sampler, rotating 1/4
-    # occupancy refresh (cfg/blender_scene_tuned.yml; PSNR in-spread per
-    # the spass12Led1k1f1scns24 + intermediate-lever parity arms, 3 seeds
-    # at this exact shape — benchmarks/r5b_decision.py ADOPT verdict)
+    # headline: the round-5d TUNED op point — single-pass 24 samples
+    # (8+16), stochastic k=1 grads, stochastic 1-corner forward, gl2
+    # level-subset hash backward, 12 hash levels, 1 promoted dense level,
+    # fast-CDF sampler, rotating 1/4 occupancy refresh
+    # (cfg/blender_scene_tuned.yml; PSNR in-spread per the
+    # spass12Led1k1f1scns24gl2 parity arm, 3 seeds at this exact shape —
+    # benchmarks/r5d_decision.py ADOPT verdict)
     def _measure_tuned():
         return _measure(
             jax,
@@ -348,11 +352,12 @@ def main() -> None:
                 "hash_extra_dense_levels": 1,
                 "hash_grad_corners": 1,
                 "hash_fwd_corners": 1,
+                "hash_grad_levels": 2,
                 "occ_fast_cdf": True,
                 "occ_update_partitions": 4,
             },
             warmup=3,
-            steps=40,  # 62 ms/step: 40 steps keeps the timed window >2 s
+            steps=50,  # 49 ms/step: 50 steps keeps the timed window >2 s
         )
 
     _STATE["tuned"] = _bounded(1100, _measure_tuned)

@@ -44,8 +44,8 @@ def test_real_grass_operating_points():
 
 
 def test_tuned_operating_point_pins_adopted_knobs():
-    """cfg/blender_scene_tuned.yml IS the adopted round-5b op point
-    (spass12Led1k1f1scns24 — benchmarks/r5b_decision.py ADOPT verdict);
+    """cfg/blender_scene_tuned.yml IS the adopted round-5d op point
+    (spass12Led1k1f1scns24gl2 — benchmarks/r5d_decision.py ADOPT verdict);
     any drift of these knobs silently changes the bench headline and the
     PSNR evidence trail, so pin them."""
     cfg = with_defaults(load_config(CFG_DIR / "blender_scene_tuned.yml"))
@@ -54,6 +54,7 @@ def test_tuned_operating_point_pins_adopted_knobs():
     assert cfg.hash_n_levels == 12
     assert cfg.hash_extra_dense_levels == 1  # ed1 (res-122 promotion dropped)
     assert cfg.hash_grad_corners == 1 and cfg.hash_fwd_corners == 1
+    assert cfg.hash_grad_levels == 2  # gl2 (r5d_decision.py ADOPT verdict)
     assert cfg.single_pass and cfg.occupancy_grid
     assert cfg.occ_fast_cdf and cfg.occ_update_partitions == 4
 
