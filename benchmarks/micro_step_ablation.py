@@ -113,6 +113,10 @@ def main():
     p.add_argument("--fast-cdf", action="store_true",
                    help="occ_fast_cdf=true (stratified arithmetic inverse-"
                         "CDF sampler) for the 'full' arm")
+    p.add_argument("--segments", type=int, default=128,
+                   help="occ_segments for the 'full' arm: per-ray "
+                        "piecewise-CDF resolution M (grid-lookup stream and "
+                        "fast-CDF compare-sum are both linear in M)")
     p.add_argument("--dense-corners", type=int, default=8,
                    help="hash_dense_corners: 8=exact cell-row gathers; "
                         "1..7=stochastic dithered-trilinear dense levels "
@@ -148,6 +152,7 @@ def main():
                 "hash_grad_levels": args.grad_levels,
                 "hash_dense_grad_levels": args.dense_grad_levels,
                 "occ_fast_cdf": bool(args.fast_cdf),
+                "occ_segments": args.segments,
             }
         )
     )

@@ -94,6 +94,9 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     #   "gd<n>" = hash_dense_grad_levels=n (unbiased per-point level-subset
     #             DENSE backward: exact forward, scatter only n of the
     #             dense levels' row grads, scaled Ld/n)
+    #   "sg<M>" = occ_segments=M (per-ray piecewise-CDF resolution; the
+    #             grid-lookup stream and fast-CDF compare-sum are linear
+    #             in M — the base arms fix 128)
     # The base arm fixes every other knob.
     fast_cdf = False
     partitions = 1
@@ -101,8 +104,13 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
     dense_corners = 8
     grad_levels = 0
     dense_grad_levels = 0
+    segments = 128
     ns_override = None
     while True:
+        m = re.fullmatch(r"(.+?)sg([0-9]+)", arm)
+        if m:
+            arm, segments = m.group(1), int(m.group(2))
+            continue
         m = re.fullmatch(r"(.+?)gd([1-9][0-9]?)", arm)
         if m:
             arm, dense_grad_levels = m.group(1), int(m.group(2))
@@ -197,6 +205,7 @@ def _cfg(tag: str, arm: str, batch: int, steps: int, rays_file: Path,
                 "hash_dense_grad_levels": dense_grad_levels,
                 "occ_fast_cdf": fast_cdf,
                 "occ_update_partitions": partitions,
+                "occ_segments": segments,
                 "rays_file": str(rays_file),
                 "output_dir": str(out_dir),
                 "checkpoint_dir": str(out_dir / "checkpoints"),
@@ -345,7 +354,11 @@ def main() -> None:
                             "spass12Led1k1f1scns24gl3gd2",
                             "spass12Led1k1f1scns24gl3gd1",
                             "spass12Led1k1f1scns24gl2gd2",
-                            "spass12Led1k1f1scns24gl2gd1"],
+                            "spass12Led1k1f1scns24gl2gd1",
+                            # round-5g CDF-resolution probes (sg<M> =
+                            # occ_segments=M) on the adopted gl2 base
+                            "spass12Led1k1f1scns24gl2sg64",
+                            "spass12Led1k1f1scns24gl2sg32"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")

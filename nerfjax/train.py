@@ -192,6 +192,14 @@ class TrainSettings:
     # stratified arithmetic inverse-CDF sampler (ops.occupancy
     # _sample_cdf_fast); False = the sample_pdf + sort path
     occ_fast_cdf: bool = False
+    # piecewise-constant CDF resolution along each ray (ops.occupancy
+    # segment_weights M). Both the per-ray grid-lookup stream (B*M random
+    # gathers) and the fast-CDF compare-sum ([B, n, M]) are LINEAR in M,
+    # which together price ~20 ms of the 49 ms tuned v5e step (docs/PERF.md
+    # round-5c attribution), so halving M is a direct throughput lever; the
+    # cost is coarser empty-space skipping (occupied-region resolution
+    # (far-near)/M along the ray).
+    occ_segments: int = 128
     # Tensor-parallel hash table (see table_shardings): memory-scaling mode
     # for hash tables too large to replicate per chip.
     shard_hash_table: bool = False
@@ -217,6 +225,7 @@ class TrainSettings:
             occ_update_every=int(cfg.get("occ_update_every", 16)),
             occ_update_partitions=int(cfg.get("occ_update_partitions", 1)),
             occ_fast_cdf=bool(cfg.get("occ_fast_cdf", False)),
+            occ_segments=int(cfg.get("occ_segments", 128)),
             shard_hash_table=bool(cfg.get("shard_hash_table", False)),
             single_pass=_validated_single_pass(cfg),
         )
@@ -224,11 +233,16 @@ class TrainSettings:
     def occ_spec(self):
         from nerfjax.ops.occupancy import OccupancyGridSpec
 
+        if self.occ_segments < 1:
+            raise ValueError(
+                f"occ_segments must be >= 1, got {self.occ_segments}"
+            )
         return OccupancyGridSpec(
             resolution=self.occ_resolution,
             update_every=self.occ_update_every,
             update_partitions=self.occ_update_partitions,
             fast_cdf=self.occ_fast_cdf,
+            n_segments=self.occ_segments,
         )
 
 

@@ -282,3 +282,56 @@ def test_fast_cdf_sampler_uniform_weights_are_stratified():
     lo = np.arange(n) / n
     hi = (np.arange(n) + 1) / n
     assert (z >= lo[None, :] - 1e-6).all() and (z <= hi[None, :] + 1e-6).all()
+
+
+def test_occ_segments_flows_from_cfg_and_low_M_still_concentrates():
+    """occ_segments (round-5g lever) must reach OccupancyGridSpec.n_segments
+    from the cfg, reject <1 loudly, and a coarse M must keep the sampler's
+    contract: sorted depths in [near, far] that concentrate in occupied
+    segments (empty-space skipping still works at M=32)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from nerfjax.config import ConfigNode, with_defaults
+    from nerfjax.ops.occupancy import (
+        OccupancyGridSpec,
+        init_grid,
+        occupancy_sample,
+    )
+    from nerfjax.train import TrainSettings
+
+    cfg = with_defaults(ConfigNode({"scene_name": "s", "occ_segments": 64}))
+    s = TrainSettings.from_cfg(cfg, total_steps=10)
+    assert s.occ_segments == 64 and s.occ_spec().n_segments == 64
+    dflt = with_defaults(ConfigNode({"scene_name": "s"}))
+    assert TrainSettings.from_cfg(dflt, total_steps=10).occ_spec().n_segments == 128
+    with pytest.raises(ValueError, match="occ_segments"):
+        dataclasses.replace(s, occ_segments=0).occ_spec()
+
+    # coarse-M sampling keeps the invariants and the concentration
+    spec = OccupancyGridSpec(resolution=32, update_every=1, n_segments=32,
+                             fast_cdf=True)
+    grid = np.zeros(np.asarray(init_grid(spec)).shape, np.float32)
+    # occupy only the z > 0 half-space (grid linearization x + y*r + z*r^2)
+    grid.reshape(32, 32, 32)[16:, :, :] = 1.0
+    rng = np.random.default_rng(1)
+    B = 512
+    o = np.zeros((B, 3), np.float32)
+    o[:, 2] = -2.5  # rays marching +z cross the occupied half at t = 2.5
+    d = np.zeros((B, 3), np.float32)
+    d[:, 2] = 1.0
+    z = np.asarray(
+        occupancy_sample(
+            spec, jnp.asarray(grid), jax.random.PRNGKey(0), jnp.asarray(o),
+            jnp.asarray(d), jnp.full((B,), 1.5), jnp.full((B,), 3.5), 24,
+        )
+    )
+    assert np.all(np.diff(z, axis=-1) >= 0)
+    assert np.all(z >= 1.5 - 1e-5) and np.all(z <= 3.5 + 1e-5)
+    # the occupied half (t >= 2.5) must hold the large majority of samples
+    frac_occ = float(np.mean(z >= 2.5))
+    assert frac_occ > 0.75, frac_occ
