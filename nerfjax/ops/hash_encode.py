@@ -540,29 +540,55 @@ def _dense_levels_encode(
 _DENSE_GL_SALT = 0x27D4EB2F
 
 
-def _dense_row_indices(dense: list[dict], x, y, z):
-    """([Ld, N] int32 rows into the CONCATENATED cell-row table, row counts).
+def _dense_rows_weights_selected(dense: list[dict], ids, x, y, z):
+    """Row indices + trilinear weights for the DRAWN level of each point.
 
-    Row index for level l: bx + by*(r-1) + bz*(r-1)^2 + sum_{m<l}(r_m-1)^3,
+    ids: [gd, N] drawn dense-level ids. Returns (rows [gd, N] int32 into
+    the CONCATENATED cell-row table, w [gd, 8, N] trilinear weights). Row
+    index for level l: bx + by*(r-1) + bz*(r-1)^2 + sum_{m<l}(r_m-1)^3,
     with the base cell clamped to [0, r-2] — the same clamp semantics as
     _dense_levels_encode, so these rows address exactly the rows its
-    forward gathered."""
-    scales = jnp.asarray([lp["scale"] for lp in dense], jnp.float32)[:, None]
-    rs = jnp.asarray([lp["res"] for lp in dense], jnp.int32)[:, None]
+    forward gathered. Everything is computed AFTER the level selection
+    ([gd, N]-shaped), never materialized for all Ld levels — the
+    all-levels one-hot variant measured SLOWER than the exact backward
+    it replaces (docs/PERF.md round 5e)."""
     counts = [(lp["res"] - 1) ** 3 for lp in dense]
-    coffs = jnp.asarray(
+    scales_v = jnp.asarray([lp["scale"] for lp in dense], jnp.float32)
+    rs_v = jnp.asarray([lp["res"] for lp in dense], jnp.float32)
+    coffs_v = jnp.asarray(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), jnp.int32
-    )[:, None]
+    )
 
-    px = x[None, :] * scales + 0.5  # [Ld, N]
-    py = y[None, :] * scales + 0.5
-    pz = z[None, :] * scales + 0.5
-    rmax = (rs - 2).astype(jnp.float32)
-    bx = jnp.clip(jnp.floor(px), 0, rmax).astype(jnp.int32)
-    by = jnp.clip(jnp.floor(py), 0, rmax).astype(jnp.int32)
-    bz = jnp.clip(jnp.floor(pz), 0, rmax).astype(jnp.int32)
-    rows = bx + by * (rs - 1) + bz * (rs - 1) * (rs - 1) + coffs  # [Ld, N]
-    return rows, counts
+    scale = jnp.take(scales_v, ids)  # [gd, N]
+    r_sel = jnp.take(rs_v, ids)
+    coff = jnp.take(coffs_v, ids)
+
+    px = x[None, :] * scale + 0.5  # [gd, N]
+    py = y[None, :] * scale + 0.5
+    pz = z[None, :] * scale + 0.5
+    rmax = r_sel - 2.0
+    bx = jnp.clip(jnp.floor(px), 0.0, rmax)
+    by = jnp.clip(jnp.floor(py), 0.0, rmax)
+    bz = jnp.clip(jnp.floor(pz), 0.0, rmax)
+    tx = jnp.clip(px - bx, 0.0, 1.0)
+    ty = jnp.clip(py - by, 0.0, 1.0)
+    tz = jnp.clip(pz - bz, 0.0, 1.0)
+
+    rm1 = (r_sel - 1.0).astype(jnp.int32)
+    rows = (
+        bx.astype(jnp.int32)
+        + by.astype(jnp.int32) * rm1
+        + bz.astype(jnp.int32) * rm1 * rm1
+        + coff
+    )  # [gd, N]
+
+    w = []
+    for dx, dy, dz in _CORNERS:
+        wx = tx if dx else (1.0 - tx)
+        wy = ty if dy else (1.0 - ty)
+        wz = tz if dz else (1.0 - tz)
+        w.append(wx * wy * wz)
+    return rows, jnp.stack(w, axis=1), counts  # rows, [gd, 8, N], counts
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 5))
@@ -598,21 +624,14 @@ def _dense_glv_bwd(spec, dtype, res, g):
     x, y, z = res
     dense, _ = _split_levels(spec)
     Ld = len(dense)
-    N = x.shape[0]
     gd = int(getattr(spec, "dense_grad_levels", 0))
 
-    rows, counts = _dense_row_indices(dense, x, y, z)  # [Ld, N]
-    w = _corner_weights(dense, x, y, z, clamp=True).reshape(Ld, 8, N)
     ids = _draw_levels(x, y, z, Ld, gd, _DENSE_GL_SALT)  # [gd, N]
-    lane = jnp.arange(Ld, dtype=jnp.int32)[None, :, None]  # [1, Ld, 1]
-    lhot_i = (lane == ids[:, None, :]).astype(jnp.int32)  # [gd, Ld, N]
-    lhot_f = lhot_i.astype(jnp.float32)
-
-    sel = jnp.sum(rows[None] * lhot_i, axis=1)  # [gd, N]
-    wsel = jnp.sum(w[None] * lhot_f[:, :, None, :], axis=1)  # [gd, 8, N]
+    sel, wsel, counts = _dense_rows_weights_selected(dense, ids, x, y, z)
     g32 = g.astype(jnp.float32)  # [2, Ld, N]
-    g0 = jnp.sum(g32[0][None] * lhot_f, axis=1)  # [gd, N]
-    g1 = jnp.sum(g32[1][None] * lhot_f, axis=1)
+    # cotangent of the drawn level only: [gd, N] take along the Ld axis
+    g0 = jnp.take_along_axis(g32[0], ids, axis=0)
+    g1 = jnp.take_along_axis(g32[1], ids, axis=0)
     scale = np.float32(Ld / gd)
 
     # row gradient, slot layout s = corner*2 + plane (as _dense_cell_rows)
