@@ -358,7 +358,11 @@ def main() -> None:
                             # round-5g CDF-resolution probes (sg<M> =
                             # occ_segments=M) on the adopted gl2 base
                             "spass12Led1k1f1scns24gl2sg64",
-                            "spass12Led1k1f1scns24gl2sg32"],
+                            "spass12Led1k1f1scns24gl2sg32",
+                            # round-5h reworked-dense-backward probes on
+                            # either r5g outcome base
+                            "spass12Led1k1f1scns24gl2sg32gd1",
+                            "spass12Led1k1f1scns24gl2sg32gd2"],
                    default="uniform")
     p.add_argument("--nerf-type", choices=["small", "medium", "large"],
                    default="medium")
