@@ -5,10 +5,12 @@ grads, AdamW+OneCycle) at THREE operating points and reports all in one
 JSON line — they are different quantities and must not be conflated
 (round-2 verdict):
 
-  * headline `tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2`: the round-5d
-    tuned op point (cfg/blender_scene_tuned.yml) — single-pass occupancy
-    sampling at 24 samples/ray (8+16, all drawn from the occupancy-grid
-    CDF, no coarse network pass — instant-ngp's actual design) + unbiased
+  * headline `tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2_sg32`: the
+    round-5g tuned op point (cfg/blender_scene_tuned.yml) — single-pass
+    occupancy sampling at 24 samples/ray (8+16, all drawn from the
+    occupancy-grid CDF at 32 per-ray segments, no coarse network pass —
+    instant-ngp's actual design; occ_segments=32 is the r5g_decision.py
+    ADOPT: +13.2% same-session at 3-seed in-spread PSNR) + unbiased
     stochastic corner gradients (hash_grad_corners=1) + stochastic
     1-corner dithered-trilinear FORWARD (hash_fwd_corners=1, train-only)
     + unbiased level-subset hash BACKWARD (hash_grad_levels=2: each point
@@ -53,8 +55,8 @@ Baseline: the reference publishes no numbers (BASELINE.md). Two anchors:
     zero torch/Python overhead); the realistic estimate from the
     launch-overhead decomposition in BASELINE.md is 70-130k rays/s.
     North-star status (stated plainly): the drop-in point is ~0.05-0.1x
-    of the realistic reference-GPU estimate on one v5e chip; the round-5d
-    tuned point (167.3k rays/s/chip) x 8 chips is ~10.3-19.1x of it on raw
+    of the realistic reference-GPU estimate on one v5e chip; the round-5g
+    tuned point (189.2k rays/s/chip) x 8 chips is ~11.6-21.6x of it on raw
     throughput (carried as `vs_ref_band` in the JSON) — >=5x across the
     ENTIRE realistic band — and also >=5x under PSNR-per-wall-clock
     (docs/PERF.md) since the tuned point reaches equal-or-better PSNR
@@ -122,7 +124,7 @@ BOUND_UTILIZATION = {
 # measurement windows; a dead tunnel at bench time should not erase the
 # round's real numbers from the artifact.
 LAST_MEASURED = {
-    "tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2": 167310.0,
+    "tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2_sg32": 189172.0,
     "single_pass48_sgrad2": 11336.5,
     "drop_in_64_192_exact": 1045.2,
     "note": "previous clean-session v5e-1 measurement (docs/PERF.md); "
@@ -237,7 +239,7 @@ def _payload(error: str | None = None) -> str:
     return json.dumps(
         {
             **_rec(
-                "train_rays_per_sec_per_chip_ngp_large_tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2",
+                "train_rays_per_sec_per_chip_ngp_large_tuned12Led1_single_pass24_sgrad1_fwd1_sc_gl2_sg32",
                 _STATE["tuned"], error,
             ),
             **_vs_ref_band(_STATE["tuned"]),
@@ -332,13 +334,13 @@ def main() -> None:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, prev)
 
-    # headline: the round-5d TUNED op point — single-pass 24 samples
+    # headline: the round-5g TUNED op point — single-pass 24 samples
     # (8+16), stochastic k=1 grads, stochastic 1-corner forward, gl2
     # level-subset hash backward, 12 hash levels, 1 promoted dense level,
-    # fast-CDF sampler, rotating 1/4 occupancy refresh
-    # (cfg/blender_scene_tuned.yml; PSNR in-spread per the
-    # spass12Led1k1f1scns24gl2 parity arm, 3 seeds at this exact shape —
-    # benchmarks/r5d_decision.py ADOPT verdict)
+    # fast-CDF sampler at 32 per-ray CDF segments, rotating 1/4 occupancy
+    # refresh (cfg/blender_scene_tuned.yml; PSNR in-spread per the
+    # spass12Led1k1f1scns24gl2sg32 parity arm, 3 seeds at this exact
+    # shape — benchmarks/r5g_decision.py ADOPT verdict)
     def _measure_tuned():
         return _measure(
             jax,
@@ -355,9 +357,10 @@ def main() -> None:
                 "hash_grad_levels": 2,
                 "occ_fast_cdf": True,
                 "occ_update_partitions": 4,
+                "occ_segments": 32,
             },
             warmup=3,
-            steps=50,  # 49 ms/step: 50 steps keeps the timed window >2 s
+            steps=50,  # 43 ms/step: 50 steps keeps the timed window >2 s
         )
 
     _STATE["tuned"] = _bounded(1100, _measure_tuned)

@@ -57,7 +57,9 @@ def test_tuned_operating_point_pins_adopted_knobs():
     assert cfg.hash_grad_levels == 2  # gl2 (r5d_decision.py ADOPT verdict)
     assert cfg.single_pass and cfg.occupancy_grid
     assert cfg.occ_fast_cdf and cfg.occ_update_partitions == 4
+    assert cfg.occ_segments == 32  # sg32 (r5g_decision.py ADOPT verdict)
 
     s = TrainSettings.from_cfg(cfg, total_steps=100)
     assert s.n_samples == 8 and s.n_importance == 16
     assert s.single_pass and s.occ_fast_cdf and s.occ_update_partitions == 4
+    assert s.occ_segments == 32
